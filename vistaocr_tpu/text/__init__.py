@@ -1,0 +1,13 @@
+from .uxxxx import utf8_to_uxxxx, uxxxx_to_utf8
+from .alphabet import Alphabet
+from .error_rates import levenshtein, cer, wer, cer_wer
+
+__all__ = [
+    "utf8_to_uxxxx",
+    "uxxxx_to_utf8",
+    "Alphabet",
+    "levenshtein",
+    "cer",
+    "wer",
+    "cer_wer",
+]
