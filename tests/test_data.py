@@ -1,0 +1,247 @@
+"""Tests for the data layer: contract/buckets, shards, synth, pipeline."""
+
+import numpy as np
+import pytest
+
+from vistaocr_tpu.data.buckets import BucketSpec, ShapeContract, make_ladder
+from vistaocr_tpu.data.shards import ShardWriter, ShardedLineDataset, write_manifest
+from vistaocr_tpu.data.synth import SynthConfig, SyntheticLineGenerator, build_synthetic_dataset
+from vistaocr_tpu.data.pipeline import BatchPipeline
+from vistaocr_tpu.data.transforms import height_normalize, maybe_invert, normalize_line
+from vistaocr_tpu.text import Alphabet, utf8_to_uxxxx
+
+
+class TestShapeContract:
+    def test_frames_formula(self):
+        c = ShapeContract(width_stride=4)
+        assert c.frames_for_width(1) == 1
+        assert c.frames_for_width(4) == 1
+        assert c.frames_for_width(5) == 2
+        assert c.frames_for_width(128) == 32
+
+    def test_frames_formula_vectorized(self):
+        c = ShapeContract(width_stride=4)
+        w = np.array([1, 4, 5, 128])
+        np.testing.assert_array_equal(c.frames_for_width(w), [1, 1, 2, 32])
+
+    def test_bucket_assignment(self):
+        c = ShapeContract(bucket_widths=(128, 256, 512))
+        assert c.bucket_for_width(1) == 0
+        assert c.bucket_for_width(128) == 0
+        assert c.bucket_for_width(129) == 1
+        assert c.bucket_for_width(512) == 2
+        assert c.bucket_for_width(513) == -1
+
+    def test_misaligned_bucket_rejected(self):
+        with pytest.raises(ValueError):
+            ShapeContract(bucket_widths=(130,), width_stride=4)
+
+    def test_label_cap(self):
+        c = ShapeContract(bucket_widths=(128, 2048), width_stride=4, max_label_len=256)
+        assert c.label_cap(128) == 32
+        assert c.label_cap(2048) == 256
+
+    def test_json_roundtrip(self):
+        c = ShapeContract()
+        assert ShapeContract.from_json(c.to_json()) == c
+
+    def test_make_ladder_waste_bound(self):
+        rng = np.random.default_rng(0)
+        widths = rng.integers(40, 1500, 2000)
+        ladder = make_ladder(widths, stride=4, align=128, max_waste=0.10)
+        assert all(w % 128 == 0 for w in ladder)
+        # every width fits
+        assert max(widths) <= ladder[-1]
+        # waste actually below bound
+        pad = sum(min(b for b in ladder if b >= w) - w for w in widths)
+        tot = sum(min(b for b in ladder if b >= w) for w in widths)
+        assert pad / tot <= 0.10
+
+
+class TestTransforms:
+    def test_height_normalize_aspect(self):
+        img = np.full((64, 200), 255, np.uint8)
+        out = height_normalize(img, 32)
+        assert out.shape == (32, 100)
+
+    def test_height_normalize_clamp(self):
+        img = np.full((32, 5000), 255, np.uint8)
+        out = height_normalize(img, 32, max_width=1024)
+        assert out.shape == (32, 1024)
+
+    def test_invert_polarity(self):
+        dark = np.full((10, 10), 10, np.uint8)
+        assert maybe_invert(dark).mean() > 128
+        light = np.full((10, 10), 240, np.uint8)
+        assert (maybe_invert(light) == light).all()
+
+    def test_normalize_line_rgb_input(self):
+        rgb = np.full((64, 100, 3), 255, np.uint8)
+        out = normalize_line(rgb, 32)
+        assert out.shape == (32, 50) and out.dtype == np.uint8
+
+
+class TestShards:
+    def test_write_read_roundtrip(self, tmp_path):
+        d = str(tmp_path)
+        w = ShardWriter(d, "train", height=32)
+        rng = np.random.default_rng(0)
+        imgs, texts = [], []
+        for i in range(5):
+            img = rng.integers(0, 256, (32, 50 + 10 * i), dtype=np.uint8)
+            imgs.append(img)
+            texts.append(utf8_to_uxxxx(f"line {i}"))
+            w.add(f"l{i}", img, texts[-1])
+        shards = w.close()
+        write_manifest(d, 32, {"train": shards})
+
+        ds = ShardedLineDataset(d, "train")
+        assert len(ds) == 5
+        for i in range(5):
+            rec = ds[i]
+            np.testing.assert_array_equal(rec.image, imgs[i])
+            assert rec.transcript == texts[i]
+        np.testing.assert_array_equal(ds.widths, [50, 60, 70, 80, 90])
+
+    def test_read_into(self, tmp_path):
+        d = str(tmp_path)
+        w = ShardWriter(d, "train", height=4)
+        img = np.arange(4 * 10, dtype=np.uint8).reshape(4, 10)
+        w.add("a", img, utf8_to_uxxxx("a"))
+        write_manifest(d, 4, {"train": w.close()})
+        ds = ShardedLineDataset(d, "train")
+        out = np.full((4, 16), 255, np.uint8)
+        width = ds.read_into(0, out)
+        assert width == 10
+        np.testing.assert_array_equal(out[:, :10], img)
+        assert (out[:, 10:] == 255).all()
+
+    def test_shard_rolling(self, tmp_path):
+        d = str(tmp_path)
+        w = ShardWriter(d, "train", height=8, max_shard_bytes=100)
+        for i in range(4):
+            w.add(f"l{i}", np.zeros((8, 30), np.uint8), utf8_to_uxxxx("x"))
+        shards = w.close()
+        assert len(shards) > 1
+        write_manifest(d, 8, {"train": shards})
+        assert len(ShardedLineDataset(d, "train")) == 4
+
+    def test_wrong_height_rejected(self, tmp_path):
+        w = ShardWriter(str(tmp_path), "train", height=32)
+        with pytest.raises(ValueError):
+            w.add("x", np.zeros((16, 10), np.uint8), "u0061")
+
+
+class TestSynth:
+    def test_render_shape_and_polarity(self):
+        gen = SyntheticLineGenerator(SynthConfig(), seed=1)
+        img, text = gen.sample(height=32, max_width=512)
+        assert img.dtype == np.uint8
+        assert img.shape[0] == 32 and img.shape[1] <= 512
+        assert text
+        # dark ink on light paper: mean high, min low
+        assert img.mean() > 128 and img.min() < 100
+
+    def test_deterministic(self):
+        a = SyntheticLineGenerator(SynthConfig(), seed=7)
+        b = SyntheticLineGenerator(SynthConfig(), seed=7)
+        ia, ta = a.sample(32)
+        ib, tb = b.sample(32)
+        assert ta == tb
+        np.testing.assert_array_equal(ia, ib)
+
+    def test_arabic_rendering(self):
+        gen = SyntheticLineGenerator(SynthConfig(language="ar"), seed=2)
+        img, text = gen.sample(height=32)
+        assert img.min() < 100  # some ink rendered
+        assert any("؀" <= ch <= "ۿ" for ch in text)
+
+    def test_build_dataset(self, tmp_path):
+        d = build_synthetic_dataset(
+            str(tmp_path), num_train=12, num_val=4, height=32, seed=3
+        )
+        train = ShardedLineDataset(d, "train")
+        val = ShardedLineDataset(d, "val")
+        assert len(train) == 12 and len(val) == 4
+        assert train[0].image.shape[0] == 32
+
+
+class TestPipeline:
+    @pytest.fixture
+    def dataset(self, tmp_path):
+        d = build_synthetic_dataset(
+            str(tmp_path), num_train=40, num_val=0, height=32, max_width=512, seed=4
+        )
+        return ShardedLineDataset(d, "train")
+
+    @pytest.fixture
+    def contract(self):
+        return ShapeContract(bucket_widths=(128, 256, 384, 512), width_stride=4)
+
+    def test_static_shapes(self, dataset, contract):
+        alpha = Alphabet.build(dataset.transcripts())
+        pipe = BatchPipeline(
+            dataset, alpha, contract, batch_pixels=32 * 256 * 8, drop_remainder=False
+        )
+        assert pipe.dropped == 0
+        shapes = set()
+        n_seen = 0
+        for batch in pipe.epoch(0):
+            spec = batch.bucket
+            assert batch.images.shape == (batch.size, spec.height, spec.width)
+            assert batch.labels.shape == (batch.size, spec.label_len)
+            assert (batch.widths <= spec.width).all()
+            assert (batch.label_lengths <= spec.label_len).all()
+            # CTC feasibility: labels fit in frames
+            frames = contract.frames_for_width(batch.widths)
+            assert (batch.label_lengths[batch.valid] <= frames[batch.valid]).all()
+            shapes.add(batch.images.shape)
+            n_seen += int(batch.valid.sum())
+        assert n_seen == 40
+        assert shapes <= set(
+            (b, s[1], s[2]) for s in pipe.batch_shapes() for b in [s[0]]
+        )
+
+    def test_batch_multiple(self, dataset, contract):
+        alpha = Alphabet.build(dataset.transcripts())
+        pipe = BatchPipeline(
+            dataset, alpha, contract, batch_pixels=32 * 512 * 8, batch_multiple=4
+        )
+        assert all(b % 4 == 0 for b in pipe.batch_sizes)
+
+    def test_epoch_determinism_and_reshuffle(self, dataset, contract):
+        alpha = Alphabet.build(dataset.transcripts())
+        pipe = BatchPipeline(dataset, alpha, contract, batch_pixels=32 * 256 * 4, seed=9)
+        seq0 = [tuple(b.indices.tolist()) for b in pipe.epoch(0)]
+        seq0b = [tuple(b.indices.tolist()) for b in pipe.epoch(0)]
+        seq1 = [tuple(b.indices.tolist()) for b in pipe.epoch(1)]
+        assert seq0 == seq0b  # same epoch -> same order (resume determinism)
+        assert seq0 != seq1  # different epoch -> reshuffled
+
+    def test_device_prefetch(self, dataset, contract):
+        import jax
+
+        alpha = Alphabet.build(dataset.transcripts())
+        pipe = BatchPipeline(
+            dataset, alpha, contract, batch_pixels=32 * 256 * 8, drop_remainder=False
+        )
+        host = list(pipe.epoch(0))
+        dev = list(pipe.device_epoch(0))
+        assert len(dev) == len(host)
+        for h, d in zip(host, dev):
+            assert isinstance(d.images, jax.Array)
+            np.testing.assert_array_equal(np.asarray(d.images), h.images)
+            np.testing.assert_array_equal(np.asarray(d.labels), h.labels)
+
+    def test_infeasible_label_dropped(self, tmp_path):
+        # A 1000-char transcript in a 128-wide image cannot fit 32 frames.
+        d = str(tmp_path)
+        w = ShardWriter(d, "train", height=32)
+        w.add("bad", np.zeros((32, 100), np.uint8), utf8_to_uxxxx("a" * 1000))
+        w.add("good", np.zeros((32, 100), np.uint8), utf8_to_uxxxx("ok"))
+        write_manifest(d, 32, {"train": w.close()})
+        ds = ShardedLineDataset(d, "train")
+        alpha = Alphabet.build(ds.transcripts())
+        contract = ShapeContract(bucket_widths=(128,), width_stride=4)
+        pipe = BatchPipeline(ds, alpha, contract, batch_pixels=32 * 128)
+        assert pipe.dropped == 1

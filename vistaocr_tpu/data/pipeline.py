@@ -1,0 +1,253 @@
+"""Bucketed host pipeline: sampling, batch assembly, device prefetch.
+
+Components C6 + C7 (SURVEY.md §2). Replaces the reference's
+GroupedSampler + pad-to-max-width collate + torch DataLoader workers with
+a TPU-shaped design:
+
+- every batch has one of a FIXED set of shapes (bucket ladder from
+  ``ShapeContract``), so each bucket's train/eval step compiles once;
+- per-bucket batch sizes follow a pixel budget (wider lines -> smaller
+  batches) so step memory/latency is roughly uniform across buckets;
+- images travel to the device as uint8 (4x fewer H2D bytes than f32;
+  normalization happens on device, ops/preprocess.py);
+- a background thread keeps ``prefetch`` batches in flight
+  (``jax.device_put`` with an optional NamedSharding for DP), so the TPU
+  never waits on host assembly — the reference's documented stall
+  (SURVEY.md §3.1 hot loops).
+
+Bucket assignment accounts for BOTH width and label length: CTC has no
+valid alignment unless label_len <= frame count, so a sample is placed in
+the narrowest bucket satisfying both, and samples that fit no bucket are
+dropped with a counter (never silently).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..text import Alphabet
+from .buckets import BucketSpec, ShapeContract
+from .shards import ShardedLineDataset
+
+
+@dataclass
+class Batch:
+    """One static-shape batch. ``images`` is [B, H, W] uint8; the channel
+    axis is added on device. ``widths`` are true pixel widths (<= W);
+    ``valid`` marks real samples (False = padding duplicate, eval only)."""
+
+    images: "np.ndarray"
+    widths: "np.ndarray"  # [B] int32
+    labels: "np.ndarray"  # [B, L] int32, 0-padded
+    label_lengths: "np.ndarray"  # [B] int32
+    valid: "np.ndarray"  # [B] bool
+    bucket: BucketSpec
+    indices: "np.ndarray"  # [B] int64 dataset indices (host-side bookkeeping)
+
+    @property
+    def size(self) -> int:
+        return int(self.images.shape[0])
+
+
+class BatchPipeline:
+    """Iterable over bucketed batches for one split.
+
+    Parameters
+    ----------
+    dataset : ShardedLineDataset
+    alphabet : Alphabet
+    contract : ShapeContract
+    batch_pixels : int
+        Pixel budget per batch: bucket b gets batch size
+        ``max(1, batch_pixels // (H * Wb))`` rounded down to a multiple of
+        ``batch_multiple`` (the DP mesh size), static across epochs.
+    batch_multiple : int
+        Every batch size is a multiple of this (data-axis divisibility).
+    drop_remainder : bool
+        True for training (partial tail batches are dropped); False for
+        eval (tails are padded by repeating samples, flagged via
+        ``valid``).
+    """
+
+    def __init__(
+        self,
+        dataset: ShardedLineDataset,
+        alphabet: Alphabet,
+        contract: ShapeContract,
+        *,
+        batch_pixels: int = 2**21,  # ~2M pixels ≈ 64 lines of 32x1024
+        batch_multiple: int = 1,
+        min_batch: int = 1,
+        drop_remainder: bool = True,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        if dataset.height != contract.height:
+            raise ValueError(
+                f"dataset height {dataset.height} != contract height {contract.height}"
+            )
+        self.dataset = dataset
+        self.alphabet = alphabet
+        self.contract = contract
+        self.drop_remainder = drop_remainder
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+        # --- static per-bucket batch sizes -----------------------------------
+        self.batch_sizes: List[int] = []
+        for bw in contract.bucket_widths:
+            b = max(min_batch, batch_pixels // (contract.height * bw))
+            b = max(batch_multiple, (b // batch_multiple) * batch_multiple)
+            self.batch_sizes.append(b)
+
+        # --- bucket assignment (width AND label length) ----------------------
+        self.bucket_members: List[List[int]] = [[] for _ in contract.bucket_widths]
+        self.encoded: List[np.ndarray] = []
+        self.dropped = 0
+        widths = dataset.widths
+        for i in range(len(dataset)):
+            ids = np.asarray(alphabet.encode(dataset.transcript(i)), dtype=np.int32)
+            self.encoded.append(ids)
+            placed = False
+            for b, bw in enumerate(contract.bucket_widths):
+                if widths[i] <= bw and len(ids) <= contract.label_cap(bw):
+                    self.bucket_members[b].append(i)
+                    placed = True
+                    break
+            if not placed:
+                self.dropped += 1
+
+    def __len__(self) -> int:
+        total = 0
+        for members, bsz in zip(self.bucket_members, self.batch_sizes):
+            if self.drop_remainder:
+                total += len(members) // bsz
+            else:
+                total += -(-len(members) // bsz) if members else 0
+        return total
+
+    def batch_shapes(self) -> List[tuple]:
+        """All (B, H, W, L) shapes this pipeline can emit — the compile set."""
+        shapes = []
+        for b, (members, bsz) in enumerate(zip(self.bucket_members, self.batch_sizes)):
+            if members:
+                spec = BucketSpec.of(self.contract, b)
+                shapes.append((bsz, spec.height, spec.width, spec.label_len))
+        return shapes
+
+    # ---- batch assembly -----------------------------------------------------
+    def _assemble(self, bucket_idx: int, idxs: Sequence[int], bsz: int) -> Batch:
+        spec = BucketSpec.of(self.contract, bucket_idx)
+        n = len(idxs)
+        images = np.zeros((bsz, spec.height, spec.width), dtype=np.uint8)
+        images[:, :, :] = 255  # pad with paper, not ink
+        widths = np.zeros((bsz,), dtype=np.int32)
+        labels = np.zeros((bsz, spec.label_len), dtype=np.int32)
+        label_lengths = np.zeros((bsz,), dtype=np.int32)
+        valid = np.zeros((bsz,), dtype=bool)
+        out_indices = np.zeros((bsz,), dtype=np.int64)
+        for slot in range(bsz):
+            i = idxs[slot] if slot < n else idxs[slot % n]  # pad tail by repeat
+            widths[slot] = self.dataset.read_into(i, images[slot])
+            ids = self.encoded[i]
+            labels[slot, : len(ids)] = ids
+            label_lengths[slot] = len(ids)
+            valid[slot] = slot < n
+            out_indices[slot] = i
+        return Batch(
+            images=images,
+            widths=widths,
+            labels=labels,
+            label_lengths=label_lengths,
+            valid=valid,
+            bucket=spec,
+            indices=out_indices,
+        )
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Batch]:
+        """Yield all batches for one epoch in shuffled inter-bucket order."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        rng = np.random.default_rng((self.seed, epoch))
+        plan: List[tuple] = []  # (bucket_idx, [dataset indices])
+        for b, members in enumerate(self.bucket_members):
+            if not members:
+                continue
+            order = np.array(members)
+            if self.shuffle:
+                rng.shuffle(order)
+            bsz = self.batch_sizes[b]
+            n_full = len(order) // bsz
+            for k in range(n_full):
+                plan.append((b, order[k * bsz : (k + 1) * bsz].tolist()))
+            tail = order[n_full * bsz :]
+            if len(tail) and not self.drop_remainder:
+                plan.append((b, tail.tolist()))
+        if self.shuffle:
+            rng.shuffle(plan)
+        for b, idxs in plan:
+            yield self._assemble(b, idxs, self.batch_sizes[b])
+
+    # ---- device prefetch ------------------------------------------------------
+    def device_epoch(
+        self,
+        epoch: Optional[int] = None,
+        *,
+        sharding=None,
+        prefetch: int = 2,
+    ) -> Iterator[Batch]:
+        """Like :meth:`epoch` but with batches asynchronously assembled and
+        ``device_put`` ahead of consumption (double-buffered by default).
+
+        ``sharding``: optional dict {field: jax.sharding.Sharding} or a
+        single Sharding applied to all array fields (DP batch sharding).
+        """
+        import jax
+
+        def put(batch: Batch) -> Batch:
+            def sh(name):
+                if sharding is None:
+                    return None
+                if isinstance(sharding, dict):
+                    return sharding.get(name)
+                return sharding
+
+            return Batch(
+                images=jax.device_put(batch.images, sh("images")),
+                widths=jax.device_put(batch.widths, sh("widths")),
+                labels=jax.device_put(batch.labels, sh("labels")),
+                label_lengths=jax.device_put(batch.label_lengths, sh("label_lengths")),
+                valid=batch.valid,
+                bucket=batch.bucket,
+                indices=batch.indices,
+            )
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self.epoch(epoch):
+                    q.put(put(batch))
+            except BaseException as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

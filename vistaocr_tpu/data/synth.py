@@ -1,0 +1,196 @@
+"""Synthetic printed-line generator — component C5 (SURVEY.md §2).
+
+The reference ships per-language prep for printed/synthetic MATERIAL data
+[L]; the rebuild's generator renders text lines with system TrueType fonts
+(DejaVu, which covers Latin + Arabic + Farsi) plus optional degradations,
+and is the engine behind BASELINE.json config #1 (CPU-runnable smoke
+train) and the Farsi/multilingual printed config #4.
+
+Determinism: everything derives from a numpy Generator seeded by the
+caller, so datasets are reproducible artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import string
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from ..text import utf8_to_uxxxx
+from .shards import ShardWriter, write_manifest
+from .transforms import height_normalize
+
+
+def _find_fonts() -> List[str]:
+    """Locate usable TTFs. matplotlib ships DejaVu in every env here."""
+    candidates = []
+    try:
+        import matplotlib
+
+        ttf_dir = os.path.join(
+            os.path.dirname(matplotlib.__file__), "mpl-data", "fonts", "ttf"
+        )
+        for name in ("DejaVuSans.ttf", "DejaVuSerif.ttf", "DejaVuSansMono.ttf"):
+            p = os.path.join(ttf_dir, name)
+            if os.path.exists(p):
+                candidates.append(p)
+    except ImportError:
+        pass
+    for p in (
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/TTF/DejaVuSans.ttf",
+    ):
+        if os.path.exists(p):
+            candidates.append(p)
+    return candidates
+
+
+# Small built-in word lists so the generator needs no corpus files.
+_EN_WORDS = (
+    "the of and to in is was he for it with as his on be at by had not are but "
+    "from or have an they which one you were her all she there would their we "
+    "him been has when who will more no if out so said what up its about into "
+    "than them can only other new some could time these two may then do first "
+    "any my now such like our over man me even most made after also did many "
+    "before must through years where much your way well down should because "
+    "each just those people how too little state good very make world still "
+    "own see men work long get here between both life being under never day "
+    "same another know while last might great old year off come since against "
+    "go came right used take three"
+).split()
+
+_FA_WORDS = (
+    "سلام دنیا کتاب مدرسه ایران زبان فارسی روز شب آب نان خانه شهر بزرگ کوچک "
+    "مرد زن بچه پدر مادر دوست کار سال ماه هفته دست سر چشم دل راه در باز بسته "
+    "خوب بد نو کهنه سفید سیاه سبز آبی سرخ زرد"
+).split()
+
+_AR_WORDS = (
+    "السلام عليكم كتاب مدرسة لغة عربية يوم ليلة ماء خبز بيت مدينة كبير صغير "
+    "رجل امرأة طفل أب أم صديق عمل سنة شهر أسبوع يد رأس عين قلب طريق باب"
+).split()
+
+WORD_LISTS = {"en": _EN_WORDS, "fa": _FA_WORDS, "ar": _AR_WORDS}
+
+
+@dataclass
+class SynthConfig:
+    language: str = "en"  # en | fa | ar | charset
+    charset: Optional[str] = None  # used when language == "charset"
+    min_words: int = 2
+    max_words: int = 9
+    font_size_range: tuple = (24, 40)
+    noise: float = 0.0  # gaussian pixel noise stddev (0-1 scale)
+    blur_prob: float = 0.0
+    rotate_max_deg: float = 0.0
+    fonts: Sequence[str] = field(default_factory=_find_fonts)
+
+
+class SyntheticLineGenerator:
+    """Renders (image [H,W] uint8 dark-on-light, text) pairs."""
+
+    def __init__(self, config: SynthConfig, seed: int = 0):
+        if not config.fonts:
+            raise RuntimeError("no TTF fonts found for synthetic rendering")
+        self.config = config
+        self.rng = np.random.default_rng(seed)
+        self._fonts_cache = {}
+
+    def _font(self, path: str, size: int) -> ImageFont.FreeTypeFont:
+        key = (path, size)
+        if key not in self._fonts_cache:
+            self._fonts_cache[key] = ImageFont.truetype(path, size)
+        return self._fonts_cache[key]
+
+    def sample_text(self) -> str:
+        cfg = self.config
+        rng = self.rng
+        if cfg.language == "charset":
+            charset = cfg.charset or (string.ascii_letters + string.digits + " ")
+            n = int(rng.integers(8, 40))
+            chars = [charset[int(i)] for i in rng.integers(0, len(charset), n)]
+            # avoid leading/trailing/double spaces which render invisibly
+            text = "".join(chars)
+            text = " ".join(text.split())
+            return text if text else "a"
+        words = WORD_LISTS[cfg.language]
+        n = int(rng.integers(cfg.min_words, cfg.max_words + 1))
+        picks = [words[int(i)] for i in rng.integers(0, len(words), n)]
+        return " ".join(picks)
+
+    def render(self, text: str, height: int, max_width: Optional[int] = None) -> np.ndarray:
+        cfg = self.config
+        rng = self.rng
+        font_path = cfg.fonts[int(rng.integers(0, len(cfg.fonts)))]
+        size = int(rng.integers(cfg.font_size_range[0], cfg.font_size_range[1] + 1))
+        font = self._font(font_path, size)
+
+        # Measure, then draw with margin.
+        probe = Image.new("L", (8, 8), 255)
+        d = ImageDraw.Draw(probe)
+        bbox = d.textbbox((0, 0), text, font=font)
+        w = max(1, bbox[2] - bbox[0])
+        h = max(1, bbox[3] - bbox[1])
+        pad = max(2, size // 6)
+        img = Image.new("L", (w + 2 * pad, h + 2 * pad), 255)
+        ImageDraw.Draw(img).text((pad - bbox[0], pad - bbox[1]), text, font=font, fill=0)
+
+        if cfg.rotate_max_deg > 0:
+            angle = float(rng.uniform(-cfg.rotate_max_deg, cfg.rotate_max_deg))
+            img = img.rotate(angle, resample=Image.BILINEAR, expand=True, fillcolor=255)
+
+        arr = height_normalize(np.asarray(img, dtype=np.uint8), height, max_width=max_width)
+
+        if cfg.blur_prob > 0 and rng.uniform() < cfg.blur_prob:
+            from PIL import ImageFilter
+
+            arr = np.asarray(
+                Image.fromarray(arr).filter(ImageFilter.GaussianBlur(radius=0.7)),
+                dtype=np.uint8,
+            )
+        if cfg.noise > 0:
+            noise = rng.normal(0.0, cfg.noise * 255.0, arr.shape)
+            arr = np.clip(arr.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        return arr
+
+    def sample(self, height: int, max_width: Optional[int] = None):
+        text = self.sample_text()
+        return self.render(text, height, max_width=max_width), text
+
+
+def build_synthetic_dataset(
+    dataset_dir: str,
+    *,
+    num_train: int = 512,
+    num_val: int = 64,
+    num_test: int = 0,
+    height: int = 32,
+    max_width: Optional[int] = 1024,
+    config: Optional[SynthConfig] = None,
+    seed: int = 0,
+) -> str:
+    """Render a full dataset into the shard-store format. Returns dataset_dir."""
+    cfg = config or SynthConfig()
+    splits = {}
+    counts = {"train": num_train, "val": num_val, "test": num_test}
+    for split_i, (split, n) in enumerate(counts.items()):
+        if n <= 0:
+            continue
+        gen = SyntheticLineGenerator(cfg, seed=seed * 1000 + split_i)
+        writer = ShardWriter(dataset_dir, split, height)
+        for i in range(n):
+            img, text = gen.sample(height, max_width=max_width)
+            writer.add(f"{split}-{i:06d}", img, utf8_to_uxxxx(text))
+        splits[split] = writer.close()
+    write_manifest(
+        dataset_dir,
+        height,
+        splits,
+        extra={"source": "synthetic", "language": cfg.language, "seed": seed},
+    )
+    return dataset_dir
