@@ -1,0 +1,183 @@
+"""Headline benchmark: training throughput in text-lines/sec/chip.
+
+Protocol (BASELINE.md): flagship CnnLstmOcr (bf16 compute) trained on
+synthetic 32px lines over a realistic bucket mix; wall-clock over timed
+steps AFTER per-bucket compilation; lines/sec = global lines / seconds /
+chips. Eval forward throughput is reported alongside.
+
+Baseline: the reference publishes no numbers (BASELINE.json.published =
+{}), and its GPU throughput is unavailable in this environment. We anchor
+``vs_baseline`` to a NOMINAL reference of 1000 lines/sec/chip for the
+2017-era PyTorch+cuDNN+warp-ctc stack on a contemporary GPU — a generous
+literature-anchored estimate (see BASELINE.md rows 5-6); the north-star
+target of >=5x the reference therefore reads as vs_baseline >= 5.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+NOMINAL_REFERENCE_LINES_PER_SEC = 1000.0
+
+BENCH_DATA = os.environ.get("BENCH_DATA_DIR", "/tmp/vistaocr_bench_data")
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", "100"))
+WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP", "10"))
+CACHE_DIR = os.environ.get("JAX_CACHE_DIR", "/tmp/vistaocr_jax_cache")
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _ensure_data():
+    from vistaocr_tpu.data import build_synthetic_dataset
+
+    if not os.path.exists(os.path.join(BENCH_DATA, "manifest.json")):
+        build_synthetic_dataset(
+            BENCH_DATA,
+            num_train=4096,
+            num_val=512,
+            height=32,
+            max_width=1024,
+            seed=123,
+        )
+    return BENCH_DATA
+
+
+def main():
+    import jax
+
+    # Persistent compilation cache: per-bucket graphs compile once per
+    # machine, not once per bench run.
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import optax
+
+    from vistaocr_tpu.data import BatchPipeline, ShapeContract, ShardedLineDataset
+    from vistaocr_tpu.models import CnnLstmOcr, ModelConfig
+    from vistaocr_tpu.parallel import MeshConfig, make_mesh, replicated, shard_batch_arrays
+    from vistaocr_tpu.text import Alphabet
+    from vistaocr_tpu.train import TrainState, make_eval_step, make_train_step
+
+    data_dir = _ensure_data()
+    n_chips = len(jax.devices())
+    mesh = make_mesh(MeshConfig(model=1))
+
+    ds = ShardedLineDataset(data_dir, "train")
+    alphabet = Alphabet.build(ds.transcripts())
+    contract = ShapeContract(bucket_widths=(256, 384, 512, 768, 1024))
+    cfg = ModelConfig(num_classes=alphabet.num_classes, compute_dtype="bfloat16")
+    model = CnnLstmOcr(cfg)
+    variables = model.init_params(jax.random.PRNGKey(0))
+
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.scale_by_adam())
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    state = jax.device_put(state, replicated(mesh))
+    train_step = make_train_step(model, tx, label_average=False)
+    eval_step = make_eval_step(model)
+
+    pipe = BatchPipeline(
+        ds, alphabet, contract,
+        batch_pixels=2**21,
+        batch_multiple=mesh.shape["data"],
+        drop_remainder=True,
+        seed=7,
+    )
+    sharding = shard_batch_arrays(mesh)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    def batches():
+        epoch = 0
+        while True:
+            yield from pipe.device_epoch(epoch, sharding=sharding)
+            epoch += 1
+
+    stream = batches()
+
+    # Warmup: compile every bucket shape + a few steady steps.
+    _log(f"bucket shapes to compile: {pipe.batch_shapes()}")
+    seen = set()
+    warm = 0
+    last = None
+    t_warm = time.time()
+    while warm < WARMUP_STEPS or len(seen) < len(pipe.batch_shapes()):
+        b = next(stream)
+        t_one = time.time()
+        state, m = train_step(
+            state, b.images, b.widths, b.labels, b.label_lengths,
+            jnp.asarray(b.valid, jnp.float32), lr, rng,
+        )
+        jax.block_until_ready(m["loss"])
+        if b.images.shape not in seen:
+            _log(f"compiled train {b.images.shape} in {time.time()-t_one:.1f}s")
+        seen.add(b.images.shape)
+        last = m
+        warm += 1
+    _log(f"warmup done in {time.time()-t_warm:.1f}s ({warm} steps)")
+
+    # Timed training steps.
+    lines = 0
+    t0 = time.time()
+    for _ in range(TIMED_STEPS):
+        b = next(stream)
+        state, m = train_step(
+            state, b.images, b.widths, b.labels, b.label_lengths,
+            jnp.asarray(b.valid, jnp.float32), lr, rng,
+        )
+        lines += b.size
+    jax.block_until_ready(m["loss"])
+    train_lps = lines / (time.time() - t0) / n_chips
+    _log(f"train timing done: {train_lps:.0f} lines/s/chip")
+
+    # Warm up eval graphs (one compile per bucket shape), then time.
+    seen_eval = set()
+    while len(seen_eval) < len(pipe.batch_shapes()):
+        b = next(stream)
+        if b.images.shape in seen_eval:
+            continue
+        out = eval_step(state.params, state.batch_stats, b.images, b.widths)
+        jax.block_until_ready(out[0])
+        seen_eval.add(b.images.shape)
+    _log("eval graphs compiled")
+
+    # Timed eval forward.
+    lines = 0
+    t0 = time.time()
+    for _ in range(max(TIMED_STEPS // 3, 20)):
+        b = next(stream)
+        out = eval_step(state.params, state.batch_stats, b.images, b.widths)
+        lines += b.size
+    jax.block_until_ready(out[0])
+    eval_lps = lines / (time.time() - t0) / n_chips
+
+    print(json.dumps({
+        "metric": "train_lines_per_sec_per_chip",
+        "value": round(train_lps, 1),
+        "unit": "lines/sec/chip",
+        "vs_baseline": round(train_lps / NOMINAL_REFERENCE_LINES_PER_SEC, 3),
+        "extra": {
+            "eval_lines_per_sec_per_chip": round(eval_lps, 1),
+            "chips": n_chips,
+            "timed_steps": TIMED_STEPS,
+            "compute_dtype": "bfloat16",
+            "params_m": round(sum(
+                x.size for x in jax.tree.leaves(variables["params"])) / 1e6, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

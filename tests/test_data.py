@@ -245,3 +245,28 @@ class TestPipeline:
         contract = ShapeContract(bucket_widths=(128,), width_stride=4)
         pipe = BatchPipeline(ds, alpha, contract, batch_pixels=32 * 128)
         assert pipe.dropped == 1
+
+
+class TestBatchShapesDropRemainder:
+    def test_undersized_bucket_excluded(self, tmp_path):
+        from vistaocr_tpu.data.shards import ShardWriter, write_manifest
+        import numpy as np
+        from vistaocr_tpu.text import utf8_to_uxxxx
+
+        d = str(tmp_path)
+        w = ShardWriter(d, "train", height=32)
+        # 10 narrow lines, 2 wide lines
+        for i in range(10):
+            w.add(f"n{i}", np.zeros((32, 100), np.uint8), utf8_to_uxxxx("ab"))
+        for i in range(2):
+            w.add(f"w{i}", np.zeros((32, 500), np.uint8), utf8_to_uxxxx("ab"))
+        write_manifest(d, 32, {"train": w.close()})
+        ds = ShardedLineDataset(d, "train")
+        alpha = Alphabet.build(ds.transcripts())
+        contract = ShapeContract(bucket_widths=(128, 512))
+        pipe = BatchPipeline(ds, alpha, contract, batch_pixels=32 * 128 * 4,
+                             drop_remainder=True)
+        # wide bucket has 2 members but batch size 4 (min) -> excluded
+        emitted = {b.images.shape for b in pipe.epoch(0)}
+        declared = {(s[0], s[1], s[2]) for s in pipe.batch_shapes()}
+        assert emitted == declared

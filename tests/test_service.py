@@ -1,0 +1,79 @@
+"""Inference service tests (config #5): width routing, dynamic batching,
+future resolution, stats."""
+
+import numpy as np
+import pytest
+
+from vistaocr_tpu.data import build_synthetic_dataset
+from vistaocr_tpu.data.synth import SynthConfig, SyntheticLineGenerator
+from vistaocr_tpu.serve import OcrService, ServiceConfig
+from vistaocr_tpu.train import PRESETS, TrainConfig, fit
+
+
+@pytest.fixture(scope="module")
+def snapshot(tmp_path_factory):
+    d = tmp_path_factory.mktemp("svc_data")
+    cfg = SynthConfig(language="charset", charset="abcdeo ", min_words=1, max_words=3)
+    data = build_synthetic_dataset(
+        str(d), num_train=96, num_val=16, height=32, max_width=384,
+        config=cfg, seed=21,
+    )
+    run = str(tmp_path_factory.mktemp("svc_run"))
+    base = dict(PRESETS["synth-tiny"])
+    base.update(
+        data_dir=data, snapshot_dir=run, epochs=200, max_steps=250,
+        val_interval_steps=125, log_interval=100, batch_pixels=2**17,
+        bucket_widths=(128, 256, 384), seed=3,
+    )
+    fit(TrainConfig(**base), log=lambda *a: None)
+    return run + "/best", data
+
+
+class TestService:
+    def test_end_to_end_ocr(self, snapshot):
+        snap, data = snapshot
+        svc = OcrService(snap, ServiceConfig(max_batch=8, max_wait_ms=20.0,
+                                             warmup=False))
+        try:
+            gen = SyntheticLineGenerator(
+                SynthConfig(language="charset", charset="abcdeo ",
+                            min_words=1, max_words=3),
+                seed=99,
+            )
+            pairs = [gen.sample(height=32, max_width=380) for _ in range(12)]
+            results = svc.ocr_lines([img for img, _ in pairs])
+            assert len(results) == 12
+            # the model trained to ~0 CER on this distribution: most lines
+            # should come back exactly right
+            exact = sum(r.text == text for r, (_, text) in zip(results, pairs))
+            assert exact >= 8, [
+                (r.text, t) for r, (_, t) in zip(results, pairs)
+            ]
+            assert svc.stats["lines"] == 12
+            assert svc.stats["batches"] >= 1
+            assert all(r.latency_ms > 0 for r in results)
+        finally:
+            svc.close()
+
+    def test_width_routing(self, snapshot):
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(max_batch=4, warmup=False))
+        try:
+            narrow = np.full((32, 100), 255, np.uint8)
+            wide = np.full((32, 350), 255, np.uint8)
+            r1 = svc.submit(narrow).result(timeout=30)
+            r2 = svc.submit(wide).result(timeout=30)
+            assert r1.bucket_width == 128
+            assert r2.bucket_width == 384
+        finally:
+            svc.close()
+
+    def test_odd_height_input_normalized(self, snapshot):
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(max_batch=2, warmup=False))
+        try:
+            img = np.full((77, 200), 255, np.uint8)  # wrong height: resized
+            r = svc.submit(img).result(timeout=30)
+            assert isinstance(r.text, str)
+        finally:
+            svc.close()

@@ -133,10 +133,13 @@ class BatchPipeline:
         return total
 
     def batch_shapes(self) -> List[tuple]:
-        """All (B, H, W, L) shapes this pipeline can emit — the compile set."""
+        """All (B, H, W, L) shapes this pipeline can emit — the compile set.
+        With drop_remainder, a bucket with fewer members than its batch size
+        emits nothing and is excluded."""
         shapes = []
         for b, (members, bsz) in enumerate(zip(self.bucket_members, self.batch_sizes)):
-            if members:
+            n = len(members)
+            if n and (not self.drop_remainder or n >= bsz):
                 spec = BucketSpec.of(self.contract, b)
                 shapes.append((bsz, spec.height, spec.width, spec.label_len))
         return shapes

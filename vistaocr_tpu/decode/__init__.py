@@ -1,3 +1,15 @@
 from .greedy import greedy_decode, greedy_frames, collapse_frames
+from .beam import BeamConfig, beam_decode, beam_topk, prefix_beam_search
+from .lm import ArpaLM, train_char_lm
 
-__all__ = ["greedy_decode", "greedy_frames", "collapse_frames"]
+__all__ = [
+    "greedy_decode",
+    "greedy_frames",
+    "collapse_frames",
+    "BeamConfig",
+    "beam_decode",
+    "beam_topk",
+    "prefix_beam_search",
+    "ArpaLM",
+    "train_char_lm",
+]

@@ -1,0 +1,201 @@
+"""CTC prefix beam search with n-gram LM fusion — component C14.
+
+Standard algorithm (Hannun et al. 2014; PAPERS.md 1905.03175, 2508.07315):
+beams are PREFIXES (not paths); each carries two log-probabilities,
+ending-in-blank and ending-in-non-blank, so repeat-collapse is exact.
+Scoring for pruning and final ranking:
+
+    log P_ctc(prefix) + lm_alpha * log P_lm(prefix) + lm_beta * |prefix|
+
+(lm_beta is the insertion bonus countering the LM's length penalty).
+
+Pipeline shape (the TPU division of labor):
+- the device computes log-probs and a per-frame TOP-K (beam_topk below) —
+  hardware-oriented CTC decoding is memory-bound, and top-k pruning before
+  beam expansion is the standard fix (PAPERS.md 1905.03175);
+- the host expands beams over only those K candidates per frame.
+
+This Python implementation is the correctness oracle for the C++ twin
+(decode/native/, bound via ctypes) which the batched service uses.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..text import Alphabet
+from .lm import ArpaLM
+
+NEG_INF = -math.inf
+
+
+def _logaddexp(a: float, b: float) -> float:
+    if a == NEG_INF:
+        return b
+    if b == NEG_INF:
+        return a
+    m = a if a > b else b
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+@dataclass
+class BeamConfig:
+    beam_width: int = 16
+    topk: int = 8  # per-frame candidate classes fed to expansion
+    lm_alpha: float = 0.0  # LM weight (0 = pure CTC)
+    lm_beta: float = 0.0  # per-token insertion bonus
+    prune_logp: float = -12.0  # drop frame candidates below best-this-frame + this
+
+
+def beam_topk(log_probs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Device-side per-frame top-k: [B, T, K] -> ([B, T, k] logp, ids).
+    The blank row is ALWAYS included by the host expansion regardless of
+    top-k membership, so k only bounds symbol candidates."""
+    vals, ids = jax.lax.top_k(log_probs, k)
+    return vals, ids.astype(jnp.int32)
+
+
+class _Beam:
+    __slots__ = ("p_b", "p_nb", "lm_state", "lm_logp")
+
+    def __init__(self, p_b=NEG_INF, p_nb=NEG_INF, lm_state=(), lm_logp=0.0):
+        self.p_b = p_b  # log P(prefix, ends in blank)
+        self.p_nb = p_nb  # log P(prefix, ends in non-blank)
+        self.lm_state = lm_state
+        self.lm_logp = lm_logp  # cumulative LM log-prob of the prefix
+
+    def total(self) -> float:
+        return _logaddexp(self.p_b, self.p_nb)
+
+
+def prefix_beam_search(
+    log_probs: np.ndarray,  # [T, K] one sample's valid frames (f32)
+    alphabet: Alphabet,
+    config: BeamConfig = BeamConfig(),
+    lm: Optional[ArpaLM] = None,
+    topk_vals: Optional[np.ndarray] = None,  # [T, k] optional precomputed
+    topk_ids: Optional[np.ndarray] = None,
+) -> List[Tuple[str, float]]:
+    """Decode one line. Returns up to beam_width (uxxxx, score) hypotheses,
+    best first. ``log_probs`` must contain only valid frames (t < frame
+    count); the caller slices by the model's frame mask."""
+    T = log_probs.shape[0]
+    use_lm = lm is not None and config.lm_alpha != 0.0
+    lm_start = lm.start_state() if use_lm else ()
+
+    beams: Dict[Tuple[int, ...], _Beam] = {
+        (): _Beam(p_b=0.0, p_nb=NEG_INF, lm_state=lm_start, lm_logp=0.0)
+    }
+
+    if topk_vals is None or topk_ids is None:
+        k = min(config.topk, log_probs.shape[1] - 1)
+        ids_sorted = np.argsort(-log_probs[:, 1:], axis=1)[:, :k] + 1
+        topk_ids = ids_sorted.astype(np.int32)
+        topk_vals = np.take_along_axis(log_probs, topk_ids, axis=1)
+
+    for t in range(T):
+        p_blank = float(log_probs[t, 0])
+        frame_best = max(float(topk_vals[t, 0]), p_blank)
+        next_beams: Dict[Tuple[int, ...], _Beam] = {}
+
+        def get(prefix, src: _Beam) -> _Beam:
+            b = next_beams.get(prefix)
+            if b is None:
+                b = _Beam(lm_state=src.lm_state, lm_logp=src.lm_logp)
+                next_beams[prefix] = b
+            return b
+
+        for prefix, beam in beams.items():
+            p_total = beam.total()
+
+            # blank extends the same prefix (never pruned: dropping it
+            # forfeits the beam's continuation mass for no real savings)
+            nb = get(prefix, beam)
+            nb.p_b = _logaddexp(nb.p_b, p_total + p_blank)
+
+            for j in range(topk_ids.shape[1]):
+                c = int(topk_ids[t, j])
+                p_c = float(topk_vals[t, j])
+                if c == 0 or p_c < frame_best + config.prune_logp:
+                    continue
+                last = prefix[-1] if prefix else -1
+                if c == last:
+                    # repeated symbol, no blank between: same prefix
+                    nb = get(prefix, beam)
+                    nb.p_nb = _logaddexp(nb.p_nb, beam.p_nb + p_c)
+                    # blank-separated repeat: extended prefix from p_b only
+                    ext = prefix + (c,)
+                    src_p = beam.p_b
+                else:
+                    ext = prefix + (c,)
+                    src_p = p_total
+                if src_p == NEG_INF:
+                    continue
+                eb = next_beams.get(ext)
+                if eb is None:
+                    lm_state, lm_logp = beam.lm_state, beam.lm_logp
+                    if use_lm:
+                        tok = alphabet.token_of(c)
+                        lp, lm_state = lm.score(beam.lm_state, tok)
+                        lm_logp = beam.lm_logp + lp
+                    eb = _Beam(lm_state=lm_state, lm_logp=lm_logp)
+                    next_beams[ext] = eb
+                eb.p_nb = _logaddexp(eb.p_nb, src_p + p_c)
+
+        # prune to beam width by fused score
+        def fused(item):
+            prefix, b = item
+            s = b.total()
+            if use_lm:
+                s += config.lm_alpha * b.lm_logp + config.lm_beta * len(prefix)
+            return s
+
+        ranked = sorted(next_beams.items(), key=fused, reverse=True)
+        beams = dict(ranked[: config.beam_width])
+
+    def final_score(prefix, b: _Beam) -> float:
+        s = b.total()
+        if use_lm:
+            s += config.lm_alpha * b.lm_logp + config.lm_beta * len(prefix)
+        return s
+
+    out = sorted(
+        ((alphabet.decode(prefix), final_score(prefix, b)) for prefix, b in beams.items()),
+        key=lambda x: x[1],
+        reverse=True,
+    )
+    return out
+
+
+def beam_decode(
+    log_probs: jax.Array,  # [B, T, K]
+    frame_mask: jax.Array,  # [B, T]
+    alphabet: Alphabet,
+    config: BeamConfig = BeamConfig(),
+    lm: Optional[ArpaLM] = None,
+    valid: Optional[np.ndarray] = None,
+) -> List[str]:
+    """Batch beam decode -> best uxxxx hypothesis per valid sample.
+    Device does log-probs + top-k; host expands."""
+    vals, ids = beam_topk(log_probs, min(config.topk, log_probs.shape[-1]))
+    lp = np.asarray(log_probs)
+    vals = np.asarray(vals)
+    ids = np.asarray(ids)
+    frames = np.asarray(frame_mask).sum(axis=1)
+    out = []
+    for b in range(lp.shape[0]):
+        if valid is not None and not valid[b]:
+            continue
+        Tb = int(frames[b])
+        hyps = prefix_beam_search(
+            lp[b, :Tb], alphabet, config, lm=lm,
+            topk_vals=vals[b, :Tb], topk_ids=ids[b, :Tb],
+        )
+        out.append(hyps[0][0] if hyps else "")
+    return out

@@ -1,0 +1,181 @@
+"""ARPA n-gram language model with Katz backoff — half of component C14.
+
+The reference era fused n-gram LMs via external Kaldi/OpenFst/KenLM
+tooling (SURVEY.md C14 [M]); the rebuild scores in-process. The LM is
+TOKEN-level over uxxxx character tokens (u0020 included), which is the
+natural unit for CTC prefix fusion — an ARPA file whose "words" are uxxxx
+tokens. ``score(state, token) -> (logp, state)`` is the stateful API the
+beam search drives; states are n-1 token tuples, so scoring is O(1) dict
+lookups with backoff.
+
+Also provides ``train_char_lm`` to estimate a small add-k smoothed model
+from transcripts and ``write/read`` for the ARPA text format (KenLM-
+compatible subset: \\data\\ header, \\N-grams: sections, log10 probs,
+optional backoff column).
+
+The C++ twin (decode/native) memory-maps a packed binary form of the
+same tables; this Python version is its correctness oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+LOG10 = math.log(10.0)
+
+BOS = "<s>"
+EOS = "</s>"
+UNK = "<unk>"
+
+
+class ArpaLM:
+    """n-gram LM: P(token | history) with Katz backoff, natural-log scores."""
+
+    def __init__(self, order: int):
+        self.order = order
+        # ngram tables: tuple(tokens) -> (logprob_e, backoff_e)
+        self.tables: List[Dict[Tuple[str, ...], Tuple[float, float]]] = [
+            {} for _ in range(order)
+        ]
+
+    # ---- queries ------------------------------------------------------------
+    def start_state(self) -> Tuple[str, ...]:
+        return (BOS,)
+
+    def _lookup(self, ngram: Tuple[str, ...]) -> Optional[Tuple[float, float]]:
+        return self.tables[len(ngram) - 1].get(ngram)
+
+    def logp(self, history: Tuple[str, ...], token: str) -> float:
+        """log P(token | history) with standard backoff; history may be any
+        length (only the last order-1 tokens are used)."""
+        hist = tuple(history[-(self.order - 1):]) if self.order > 1 else ()
+        return self._logp_backoff(hist, token)
+
+    def _logp_backoff(self, hist: Tuple[str, ...], token: str) -> float:
+        ent = self._lookup(hist + (token,))
+        if ent is not None:
+            return ent[0]
+        if not hist:
+            unk = self._lookup((UNK,))
+            return unk[0] if unk else -20.0
+        bo = self._lookup(hist)
+        backoff = bo[1] if bo else 0.0
+        return backoff + self._logp_backoff(hist[1:], token)
+
+    def score(self, state: Tuple[str, ...], token: str) -> Tuple[float, Tuple[str, ...]]:
+        lp = self.logp(state, token)
+        new_state = (state + (token,))[-(self.order - 1):] if self.order > 1 else ()
+        return lp, new_state
+
+    def sentence_logp(self, tokens: Sequence[str]) -> float:
+        state = self.start_state()
+        total = 0.0
+        for t in list(tokens) + [EOS]:
+            lp, state = self.score(state, t)
+            total += lp
+        return total
+
+    # ---- ARPA I/O -----------------------------------------------------------
+    @classmethod
+    def read_arpa(cls, path: str) -> "ArpaLM":
+        with open(path, encoding="utf-8") as f:
+            lines = iter(f)
+            counts = []
+            for line in lines:
+                line = line.strip()
+                if line == "\\data\\":
+                    break
+            for line in lines:
+                line = line.strip()
+                if not line:
+                    break
+                if line.startswith("ngram"):
+                    counts.append(int(line.split("=")[1]))
+            lm = cls(order=len(counts))
+            cur_n = 0
+            for line in lines:
+                line = line.strip()
+                if not line:
+                    continue
+                if line == "\\end\\":
+                    break
+                if line.endswith("-grams:"):
+                    cur_n = int(line[1:].split("-")[0])
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    parts = line.split()
+                    if len(parts) < cur_n + 1:
+                        continue
+                    logp = float(parts[0])
+                    toks = tuple(parts[1 : 1 + cur_n])
+                    backoff = float(parts[1 + cur_n]) if len(parts) > 1 + cur_n else 0.0
+                else:
+                    logp = float(parts[0])
+                    toks = tuple(parts[1].split())
+                    backoff = float(parts[2]) if len(parts) > 2 else 0.0
+                lm.tables[cur_n - 1][toks] = (logp * LOG10, backoff * LOG10)
+            return lm
+
+    def write_arpa(self, path: str):
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\\data\\\n")
+            for n in range(self.order):
+                f.write(f"ngram {n+1}={len(self.tables[n])}\n")
+            for n in range(self.order):
+                f.write(f"\n\\{n+1}-grams:\n")
+                for toks, (lp, bo) in sorted(self.tables[n].items()):
+                    lp10 = lp / LOG10
+                    if n < self.order - 1 and bo != 0.0:
+                        f.write(f"{lp10:.6f}\t{' '.join(toks)}\t{bo/LOG10:.6f}\n")
+                    else:
+                        f.write(f"{lp10:.6f}\t{' '.join(toks)}\n")
+            f.write("\n\\end\\\n")
+
+
+def train_char_lm(
+    transcripts: Iterable[str],
+    order: int = 3,
+    add_k: float = 0.1,
+) -> ArpaLM:
+    """Estimate a token-level n-gram LM (add-k smoothing, interpolated
+    backoff weights) from uxxxx transcripts. Small and simple — for
+    experiments and tests; production models come from KenLM-style
+    pipelines via read_arpa."""
+    sents = [[BOS] + tr.split() + [EOS] for tr in transcripts if tr is not None]
+    vocab = set()
+    counts: List[Dict[Tuple[str, ...], int]] = [defaultdict(int) for _ in range(order)]
+    for s in sents:
+        vocab.update(s)
+        for n in range(1, order + 1):
+            for i in range(len(s) - n + 1):
+                if n == 1 and s[i] == BOS:
+                    continue  # BOS has no unigram prob
+                counts[n - 1][tuple(s[i : i + n])] += 1
+            # history-only contexts for backoff mass (prefix counts)
+    vocab.discard(BOS)
+    V = len(vocab) + 1  # +unk
+
+    lm = ArpaLM(order)
+    # unigrams
+    total = sum(counts[0].values())
+    for tok in sorted(vocab):
+        c = counts[0].get((tok,), 0)
+        p = (c + add_k) / (total + add_k * V)
+        lm.tables[0][(tok,)] = (math.log(p), 0.0)
+    lm.tables[0][(UNK,)] = (math.log(add_k / (total + add_k * V)), 0.0)
+    lm.tables[0][(BOS,)] = (-99.0 * LOG10, 0.0)
+
+    # higher orders: conditional add-k; uniform backoff weight 0 (add-k
+    # already leaves mass on unseen events at lower order via our lookup
+    # fallback)
+    for n in range(2, order + 1):
+        hist_counts: Dict[Tuple[str, ...], int] = defaultdict(int)
+        for ng, c in counts[n - 1].items():
+            hist_counts[ng[:-1]] += c
+        for ng, c in counts[n - 1].items():
+            p = (c + add_k) / (hist_counts[ng[:-1]] + add_k * V)
+            lm.tables[n - 1][ng] = (math.log(p), 0.0)
+    return lm

@@ -1,0 +1,126 @@
+"""Batch inference / evaluation entry — component C17 (SURVEY.md §2).
+
+Loads a self-describing snapshot (checkpoint.load_model — the
+FromSavedWeights contract), runs a split through per-bucket compiled
+graphs, writes hypotheses and a CER/WER report.
+
+Usage:
+    python -m vistaocr_tpu.infer --snapshot <dir>/best --data <dataset> \
+        --split test [--out hyps.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Optional
+
+import jax
+
+from .checkpoint import load_model
+from .data.pipeline import BatchPipeline
+from .data.shards import ShardedLineDataset
+from .decode import greedy_decode
+from .text import cer_wer, uxxxx_to_utf8
+from .train import make_eval_step
+
+
+def run_inference(
+    snapshot: str,
+    data_dir: str,
+    split: str = "test",
+    *,
+    batch_pixels: int = 2**21,
+    out_path: Optional[str] = None,
+    decoder: str = "greedy",  # greedy | beam
+    beam_config=None,
+    lm_path: Optional[str] = None,
+    lm_alpha: float = 0.5,
+    lm_beta: float = 0.0,
+    log=print,
+) -> dict:
+    from .decode import ArpaLM, BeamConfig, beam_decode
+
+    model, variables, alphabet, contract = load_model(snapshot)
+    ds = ShardedLineDataset(data_dir, split)
+    pipe = BatchPipeline(
+        ds, alphabet, contract, batch_pixels=batch_pixels,
+        drop_remainder=False, shuffle=False,
+    )
+    if pipe.dropped:
+        log(f"warning: {pipe.dropped} lines fit no bucket; skipped")
+    eval_step = make_eval_step(model)
+
+    lm = ArpaLM.read_arpa(lm_path) if lm_path else None
+    if decoder == "beam" and beam_config is None:
+        beam_config = BeamConfig(
+            lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta
+        )
+
+    hyps, refs, ids = [], [], []
+    t0 = time.time()
+    for batch in pipe.device_epoch(0):
+        log_probs, frame_mask = eval_step(
+            variables["params"], variables["batch_stats"],
+            batch.images, batch.widths,
+        )
+        if decoder == "beam":
+            hyps.extend(beam_decode(log_probs, frame_mask, alphabet,
+                                    beam_config, lm=lm, valid=batch.valid))
+        else:
+            hyps.extend(greedy_decode(log_probs, frame_mask, alphabet,
+                                      valid=batch.valid))
+        for i, v in zip(batch.indices, batch.valid):
+            if v:
+                refs.append(ds.transcript(int(i)))
+                ids.append(ds[int(i)].id)
+    dt = max(time.time() - t0, 1e-9)
+    c, w = cer_wer(hyps, refs)
+    report = {
+        "snapshot": snapshot,
+        "split": split,
+        "decoder": decoder,
+        "lines": len(hyps),
+        "cer": round(c, 5),
+        "wer": round(w, 5),
+        "lines_per_sec": round(len(hyps) / dt, 1),
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            for lid, hyp, ref in zip(ids, hyps, refs):
+                f.write(json.dumps({
+                    "id": lid,
+                    "hyp_uxxxx": hyp,
+                    "hyp_text": uxxxx_to_utf8(hyp),
+                    "ref_uxxxx": ref,
+                }, ensure_ascii=False) + "\n")
+    log(json.dumps(report))
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--snapshot", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--out", default=None)
+    p.add_argument("--batch-pixels", type=int, default=2**21)
+    p.add_argument("--decoder", choices=("greedy", "beam"), default="greedy")
+    p.add_argument("--lm", default=None, help="ARPA LM path for beam fusion")
+    p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--lm-beta", type=float, default=0.0)
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    run_inference(
+        args.snapshot, args.data, args.split,
+        batch_pixels=args.batch_pixels, out_path=args.out,
+        decoder=args.decoder, lm_path=args.lm,
+        lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
+    )
+
+
+if __name__ == "__main__":
+    main()

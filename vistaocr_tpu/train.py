@@ -1,0 +1,536 @@
+"""Training entry point — component C15 (SURVEY.md §2, §3.1).
+
+Reference behavior reproduced (argparse CLI, epoch loop of
+forward/CTC/backward/clip/step, periodic greedy-decode validation with
+CER/WER, best-CER snapshotting, LR decay on plateau [H-behavior]) on a
+TPU-native engine:
+
+- one jit-compiled ``train_step`` per bucket shape (static shapes; the
+  bucket ladder bounds the compile set), with donated state;
+- DP over a ('data','model') mesh: batches are device_put with a
+  NamedSharding on 'data' by the pipeline's prefetch thread; XLA inserts
+  the gradient all-reduce over ICI — there is no collective code here;
+- lr rides in as a scalar argument (plateau decay changes it without
+  recompiling);
+- metrics stream to JSONL with lines/sec/chip first-class (it is the
+  BASELINE.json headline metric).
+
+Usage:
+    python -m vistaocr_tpu.train --preset synth-tiny --snapshot-dir /tmp/run
+    python -m vistaocr_tpu.train --data <dir> --snapshot-dir <dir> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .checkpoint import (
+    has_opt_state,
+    load_opt_state,
+    load_snapshot,
+    promote,
+    save_snapshot,
+)
+from .data.buckets import ShapeContract
+from .data.pipeline import BatchPipeline
+from .data.shards import ShardedLineDataset
+from .decode import greedy_decode
+from .models import CnnLstmOcr, ModelConfig
+from .models.cnn import ConvStageSpec
+from .ops.ctc import mean_ctc_loss
+from .parallel import (
+    MeshConfig,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch_arrays,
+)
+from .text import Alphabet, cer_wer
+
+
+# --------------------------------------------------------------------------
+# Config
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class TrainConfig:
+    data_dir: str = ""
+    snapshot_dir: str = ""
+    # model
+    line_height: int = 32
+    lstm_hidden: int = 512
+    lstm_layers: int = 2
+    bridge_dim: int = 512
+    dropout: float = 0.1
+    compute_dtype: str = "bfloat16"
+    tiny_model: bool = False  # config #1 scale
+    # data
+    bucket_widths: Tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+    max_label_len: int = 256
+    batch_pixels: int = 2**21
+    # optimization
+    optimizer: str = "adam"  # adam | sgd
+    lr: float = 1e-3
+    momentum: float = 0.9
+    grad_clip: float = 5.0
+    label_average: bool = False
+    epochs: int = 50
+    max_steps: int = 0  # 0 = unlimited
+    # validation / snapshots
+    val_interval_steps: int = 500
+    plateau_patience: int = 3
+    plateau_decay: float = 0.5
+    min_lr: float = 1e-6
+    # misc
+    seed: int = 0
+    mesh_model: int = 1
+    resume: bool = False
+    log_interval: int = 50
+
+    def model_config(self, num_classes: int) -> ModelConfig:
+        stages = (
+            (
+                ConvStageSpec(16, 1, (2, 2)),
+                ConvStageSpec(32, 1, (2, 2)),
+                ConvStageSpec(32, 1, (2, 1)),
+            )
+            if self.tiny_model
+            else (
+                ConvStageSpec(64, 2, (2, 2)),
+                ConvStageSpec(128, 2, (2, 2)),
+                ConvStageSpec(256, 2, (2, 1)),
+            )
+        )
+        return ModelConfig(
+            num_classes=num_classes,
+            line_height=self.line_height,
+            stages=stages,
+            bridge_dim=self.bridge_dim if not self.tiny_model else 64,
+            lstm_hidden=self.lstm_hidden if not self.tiny_model else 64,
+            lstm_layers=self.lstm_layers if not self.tiny_model else 1,
+            dropout=self.dropout,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def contract(self) -> ShapeContract:
+        return ShapeContract(
+            height=self.line_height,
+            bucket_widths=tuple(self.bucket_widths),
+            width_stride=4,
+            max_label_len=self.max_label_len,
+        )
+
+
+PRESETS = {
+    # BASELINE.json config #1: CPU-runnable synthetic smoke training.
+    "synth-tiny": dict(
+        tiny_model=True,
+        compute_dtype="float32",
+        bucket_widths=(128, 256, 384, 512),
+        batch_pixels=2**18,
+        lr=3e-3,
+        dropout=0.0,
+        val_interval_steps=100,
+        epochs=30,
+    ),
+    # Full-scale synthetic / IAM-shaped run on TPU.
+    "full": dict(),
+}
+
+
+# --------------------------------------------------------------------------
+# Train state & steps
+# --------------------------------------------------------------------------
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        core = optax.scale_by_adam()
+    elif cfg.optimizer == "sgd":
+        core = optax.trace(decay=cfg.momentum, nesterov=False)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), core)
+
+
+def make_train_step(model: CnnLstmOcr, tx, label_average: bool):
+    def train_step(state, images, widths, labels, label_lengths, weights, lr, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                widths,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            log_probs, frame_mask = outs
+            frames = frame_mask.sum(axis=1).astype(jnp.int32)
+            loss = mean_ctc_loss(
+                log_probs,
+                frames,
+                labels,
+                label_lengths,
+                sample_weights=weights,
+                label_average=label_average,
+            )
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "gnorm": gnorm}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model: CnnLstmOcr):
+    def eval_step(params, batch_stats, images, widths):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            widths,
+            train=False,
+        )
+
+    return jax.jit(eval_step)
+
+
+# --------------------------------------------------------------------------
+# Validation
+# --------------------------------------------------------------------------
+def evaluate(
+    eval_step, params, batch_stats, pipe: BatchPipeline, alphabet: Alphabet,
+    sharding=None,
+) -> Tuple[float, float, float]:
+    """Greedy-decode the whole split; returns (CER, WER, lines/sec)."""
+    hyps, refs = [], []
+    t0 = time.time()
+    n = 0
+    for batch in pipe.device_epoch(0, sharding=sharding):
+        log_probs, frame_mask = eval_step(
+            params, batch_stats, batch.images, batch.widths
+        )
+        hyps.extend(greedy_decode(log_probs, frame_mask, alphabet, valid=batch.valid))
+        refs.extend(
+            pipe.dataset.transcript(int(i))
+            for i, v in zip(batch.indices, batch.valid)
+            if v
+        )
+        n += int(batch.valid.sum())
+    dt = max(time.time() - t0, 1e-9)
+    c, w = cer_wer(hyps, refs)
+    return c, w, n / dt
+
+
+class PlateauController:
+    """LR decay on dev-CER plateau — the reference's schedule [H-behavior]."""
+
+    def __init__(self, lr: float, patience: int, decay: float, min_lr: float):
+        self.lr = lr
+        self.patience = patience
+        self.decay = decay
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad = 0
+
+    def update(self, cer: float) -> bool:
+        """Returns True if this is a new best CER."""
+        if cer < self.best - 1e-6:
+            self.best = cer
+            self.bad = 0
+            return True
+        self.bad += 1
+        if self.bad > self.patience:
+            self.lr = max(self.min_lr, self.lr * self.decay)
+            self.bad = 0
+        return False
+
+
+# --------------------------------------------------------------------------
+# Fit
+# --------------------------------------------------------------------------
+def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
+    """Run training; returns summary dict. Importable for tests/benchmarks."""
+    t_setup = time.time()
+    if mesh is None:
+        mesh = make_mesh(MeshConfig(model=cfg.mesh_model))
+    n_data = mesh.shape["data"]
+
+    contract = cfg.contract()
+    train_ds = ShardedLineDataset(cfg.data_dir, "train")
+    val_ds = None
+    try:
+        val_ds = ShardedLineDataset(cfg.data_dir, "val")
+    except KeyError:
+        pass
+
+    resume_dir = os.path.join(cfg.snapshot_dir, "last")
+    resuming = cfg.resume and os.path.exists(os.path.join(resume_dir, "meta.json"))
+
+    if resuming:
+        variables, model_config, alphabet, contract, meta = load_snapshot(resume_dir)
+        start_step = meta["step"]
+        start_epoch = meta.get("extra", {}).get("epoch", 0)
+        log(f"resuming from {resume_dir} at step {start_step}")
+    else:
+        alphabet = Alphabet.build(train_ds.transcripts())
+        model_config = cfg.model_config(alphabet.num_classes)
+        start_step, start_epoch = 0, 0
+
+    model = CnnLstmOcr(model_config)
+    if not resuming:
+        variables = model.init_params(jax.random.PRNGKey(cfg.seed))
+
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(variables["params"])
+    if resuming and has_opt_state(resume_dir):
+        opt_state = load_opt_state(resume_dir, opt_state)
+
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt_state,
+        step=jnp.asarray(start_step, jnp.int32),
+    )
+    # Replicate state across the mesh (DP); TP shards activate if model>1.
+    state = jax.device_put(
+        state,
+        param_shardings(state, mesh)
+        if mesh.shape["model"] > 1
+        else replicated(mesh),
+    )
+
+    train_step = make_train_step(model, tx, cfg.label_average)
+    eval_step = make_eval_step(model)
+
+    train_pipe = BatchPipeline(
+        train_ds,
+        alphabet,
+        contract,
+        batch_pixels=cfg.batch_pixels,
+        batch_multiple=n_data,
+        drop_remainder=True,
+        shuffle=True,
+        seed=cfg.seed,
+    )
+    if train_pipe.dropped:
+        log(f"warning: {train_pipe.dropped} train lines fit no bucket; dropped")
+    val_pipe = (
+        BatchPipeline(
+            val_ds,
+            alphabet,
+            contract,
+            batch_pixels=cfg.batch_pixels,
+            batch_multiple=n_data,
+            drop_remainder=False,
+            shuffle=False,
+        )
+        if val_ds is not None and len(val_ds)
+        else None
+    )
+    data_sharding = shard_batch_arrays(mesh)
+
+    plateau = PlateauController(
+        cfg.lr, cfg.plateau_patience, cfg.plateau_decay, cfg.min_lr
+    )
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    os.makedirs(cfg.snapshot_dir or ".", exist_ok=True)
+    metrics_path = os.path.join(cfg.snapshot_dir, "metrics.jsonl")
+    metrics_f = open(metrics_path, "a") if cfg.snapshot_dir else None
+
+    def emit(rec: dict):
+        if metrics_f:
+            metrics_f.write(json.dumps(rec) + "\n")
+            metrics_f.flush()
+
+    def snapshot(tag: str, step: int, epoch: int, extra: dict):
+        path = os.path.join(cfg.snapshot_dir, tag)
+        save_snapshot(
+            path,
+            variables={
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            },
+            model_config=model_config,
+            alphabet=alphabet,
+            contract=contract,
+            step=step,
+            opt_state=state.opt_state,
+            extra={"epoch": epoch, "train_config": dataclasses.asdict(cfg), **extra},
+        )
+        return path
+
+    log(
+        f"training: {len(train_ds)} lines, alphabet={alphabet.num_classes}, "
+        f"mesh=data:{n_data}xmodel:{mesh.shape['model']}, "
+        f"setup {time.time()-t_setup:.1f}s"
+    )
+
+    step = start_step
+    best_cer = plateau.best
+    window_lines, window_t0 = 0, time.time()
+    last_val = (float("nan"), float("nan"))
+    stop = False
+    summary_lines_per_sec = 0.0
+
+    # max_steps, when set, is the binding limit (epochs then only bounds
+    # the no-max_steps case); the epoch loop just keeps cycling data.
+    end_epoch = cfg.epochs if not cfg.max_steps else 10**9
+    cur_epoch = start_epoch
+    for epoch in range(start_epoch, end_epoch):
+        if stop:
+            break
+        cur_epoch = epoch
+        for batch in train_pipe.device_epoch(epoch, sharding=data_sharding):
+            lr = jnp.asarray(plateau.lr, jnp.float32)
+            weights = jnp.asarray(batch.valid, jnp.float32)
+            state, m = train_step(
+                state,
+                batch.images,
+                batch.widths,
+                batch.labels,
+                batch.label_lengths,
+                weights,
+                lr,
+                rng,
+            )
+            step += 1
+            window_lines += batch.size
+            if step % cfg.log_interval == 0:
+                dt = max(time.time() - window_t0, 1e-9)
+                lps = window_lines / dt
+                summary_lines_per_sec = lps
+                rec = {
+                    "step": step,
+                    "epoch": epoch,
+                    "loss": round(float(m["loss"]), 4),
+                    "gnorm": round(float(m["gnorm"]), 3),
+                    "lr": plateau.lr,
+                    "lines_per_sec": round(lps, 1),
+                }
+                log(f"step {step}: {rec}")
+                emit(rec)
+                window_lines, window_t0 = 0, time.time()
+            if step % cfg.val_interval_steps == 0 and val_pipe is not None:
+                c, w, v_lps = evaluate(
+                    eval_step, state.params, state.batch_stats, val_pipe,
+                    alphabet, sharding=data_sharding,
+                )
+                last_val = (c, w)
+                is_best = plateau.update(c)
+                rec = {
+                    "step": step,
+                    "val_cer": round(c, 5),
+                    "val_wer": round(w, 5),
+                    "val_lines_per_sec": round(v_lps, 1),
+                    "lr": plateau.lr,
+                    "best": is_best,
+                }
+                log(f"val @ {step}: {rec}")
+                emit(rec)
+                snapshot("last", step, epoch, {"val_cer": c, "val_wer": w})
+                if is_best:
+                    best_cer = c
+                    promote(
+                        os.path.join(cfg.snapshot_dir, "last"),
+                        os.path.join(cfg.snapshot_dir, "best"),
+                    )
+            if cfg.max_steps and step >= start_step + cfg.max_steps:
+                stop = True
+                break
+        if not stop:
+            cur_epoch = epoch + 1
+            snapshot("last", step, cur_epoch, {})
+
+    # Final snapshot records the REAL epoch so resume re-enters the loop
+    # where training actually stopped (mid-epoch stops resume same-epoch).
+    snapshot("last", step, cur_epoch, {"final": True})
+    if metrics_f:
+        metrics_f.close()
+    return {
+        "steps": step,
+        "best_cer": best_cer if best_cer != float("inf") else None,
+        "last_val_cer": last_val[0],
+        "last_val_wer": last_val[1],
+        "lines_per_sec": summary_lines_per_sec,
+        "snapshot_dir": cfg.snapshot_dir,
+    }
+
+
+# --------------------------------------------------------------------------
+# CLI
+# --------------------------------------------------------------------------
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu", "axon"),
+        help="override jax platform (e.g. cpu for the smoke preset)",
+    )
+    for f in dataclasses.fields(TrainConfig):
+        name = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(name, action="store_true", default=None)
+        elif f.name == "bucket_widths":
+            p.add_argument(name, type=str, default=None,
+                           help="comma-separated widths")
+        else:
+            typ = type(f.default) if f.default is not None else str
+            p.add_argument(name, type=typ, default=None)
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    base = dict(PRESETS.get(args.preset or "", {}))
+    for f in dataclasses.fields(TrainConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            if f.name == "bucket_widths" and isinstance(v, str):
+                v = tuple(int(x) for x in v.split(","))
+            base[f.name] = v
+    return TrainConfig(**base)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = config_from_args(args)
+    if not cfg.data_dir:
+        raise SystemExit("--data-dir is required")
+    if not cfg.snapshot_dir:
+        raise SystemExit("--snapshot-dir is required")
+    summary = fit(cfg)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
