@@ -73,7 +73,11 @@ def main():
     ds = ShardedLineDataset(data_dir, "train")
     alphabet = Alphabet.build(ds.transcripts())
     contract = ShapeContract(bucket_widths=(256, 384, 512, 768, 1024))
-    cfg = ModelConfig(num_classes=alphabet.num_classes, compute_dtype="bfloat16")
+    cfg = ModelConfig(
+        num_classes=alphabet.num_classes,
+        compute_dtype="bfloat16",
+        lstm_impl=os.environ.get("BENCH_LSTM_IMPL", "auto"),
+    )
     model = CnnLstmOcr(cfg)
     variables = model.init_params(jax.random.PRNGKey(0))
 
@@ -95,6 +99,11 @@ def main():
         drop_remainder=True,
         seed=7,
     )
+    if os.environ.get("BENCH_DEVICE_CACHE", "1") == "1":
+        from vistaocr_tpu.data.device_cache import DeviceCache
+
+        pipe = DeviceCache(pipe)
+        _log("device cache enabled")
     sharding = shard_batch_arrays(mesh)
     lr = jnp.asarray(1e-3, jnp.float32)
     rng = jax.random.PRNGKey(0)

@@ -1,0 +1,171 @@
+"""IAM (C3) and MADCAT (C4) prep tests over synthetic fixtures: metadata
+parsing, image collection, split assignment, Arabic normalization policy."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vistaocr_tpu.data.iam import parse_lines_txt, prepare_iam
+from vistaocr_tpu.data.madcat import (
+    ArabicPolicy,
+    crop_polygon,
+    parse_madcat_xml,
+    prepare_madcat,
+)
+from vistaocr_tpu.data.shards import ShardedLineDataset
+from vistaocr_tpu.text import uxxxx_to_utf8
+
+
+@pytest.fixture
+def iam_fixture(tmp_path):
+    root = tmp_path / "iam"
+    (root / "ascii").mkdir(parents=True)
+    lines = [
+        ("a01-000u-00", "ok", "A MOVE to stop"),
+        ("a01-000u-01", "ok", "Mr. Gaitskell from"),
+        ("a01-003-00", "err", "nominating any more"),
+    ]
+    with open(root / "ascii" / "lines.txt", "w") as f:
+        f.write("# comment line\n")
+        for lid, seg, text in lines:
+            f.write(f"{lid} {seg} 154 19 408 746 1663 91 {text.replace(' ', '|')}\n")
+    rng = np.random.default_rng(0)
+    for lid, _, _ in lines:
+        form = lid.rsplit("-", 1)[0]
+        d = root / "lines" / form.split("-")[0] / form
+        d.mkdir(parents=True, exist_ok=True)
+        img = np.full((60, 400), 250, np.uint8)
+        img[20:40, 10:390] = rng.integers(0, 100, (20, 380))
+        Image.fromarray(img).save(d / f"{lid}.png")
+    return str(root)
+
+
+class TestIam:
+    def test_parse_lines_txt(self, iam_fixture):
+        lines = parse_lines_txt(os.path.join(iam_fixture, "ascii", "lines.txt"))
+        assert len(lines) == 3
+        assert lines[0] == ("a01-000u-00", "A MOVE to stop")
+
+    def test_skip_err(self, iam_fixture):
+        lines = parse_lines_txt(
+            os.path.join(iam_fixture, "ascii", "lines.txt"), skip_err=True
+        )
+        assert len(lines) == 2
+
+    def test_prepare_random_split(self, iam_fixture, tmp_path):
+        out = str(tmp_path / "ds")
+        prepare_iam(iam_fixture, out, height=32, log=lambda *a: None)
+        total = 0
+        for split in ("train", "val", "test"):
+            try:
+                ds = ShardedLineDataset(out, split)
+                total += len(ds)
+                assert ds.height == 32
+            except KeyError:
+                pass
+        assert total == 3
+
+    def test_prepare_with_split_lists(self, iam_fixture, tmp_path):
+        sp = os.path.join(iam_fixture, "splits")
+        os.makedirs(sp)
+        with open(os.path.join(sp, "train.uttlist"), "w") as f:
+            f.write("a01-000u\n")  # form-level id matches 2 lines
+        with open(os.path.join(sp, "test.uttlist"), "w") as f:
+            f.write("a01-003-00\n")  # exact line id
+        out = str(tmp_path / "ds2")
+        prepare_iam(iam_fixture, out, height=32, log=lambda *a: None)
+        assert len(ShardedLineDataset(out, "train")) == 2
+        assert len(ShardedLineDataset(out, "test")) == 1
+        # transcript survived the pipeline
+        tr = ShardedLineDataset(out, "train")
+        texts = {uxxxx_to_utf8(t) for t in tr.transcripts()}
+        assert "A MOVE to stop" in texts
+
+
+MADCAT_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<madcat>
+  <writing-area>
+    <zone id="z1">
+      <line id="l1">
+        <coords points="10,10 300,10 300,50 10,50"/>
+        <token id="t1"><seg>السلام</seg></token>
+        <token id="t2"><seg>عليكم</seg></token>
+      </line>
+      <line id="l2">
+        <coords points="10,60 300,60 300,100 10,100"/>
+        <token id="t3"><seg>مرحبا</seg></token>
+      </line>
+    </zone>
+  </writing-area>
+</madcat>
+"""
+
+
+@pytest.fixture
+def madcat_fixture(tmp_path):
+    root = tmp_path / "madcat_root"
+    (root / "madcat").mkdir(parents=True)
+    (root / "images").mkdir()
+    with open(root / "madcat" / "page001.madcat.xml", "w", encoding="utf-8") as f:
+        f.write(MADCAT_XML)
+    rng = np.random.default_rng(1)
+    page = np.full((120, 320), 245, np.uint8)
+    page[15:45, 20:290] = rng.integers(0, 90, (30, 270))
+    page[65:95, 20:200] = rng.integers(0, 90, (30, 180))
+    Image.fromarray(page).save(root / "images" / "page001.png")
+    return str(root)
+
+
+class TestMadcat:
+    def test_parse_xml(self, madcat_fixture):
+        lines = parse_madcat_xml(
+            os.path.join(madcat_fixture, "madcat", "page001.madcat.xml")
+        )
+        assert len(lines) == 2
+        lid, poly, text = lines[0]
+        assert lid == "l1"
+        assert poly.shape == (4, 2)
+        assert text == "السلام عليكم"  # tokens joined in document order
+
+    def test_crop_polygon_masks_outside(self):
+        page = np.zeros((100, 100), np.uint8)  # all ink
+        poly = np.array([[10, 10], [50, 10], [50, 30], [10, 30]])
+        crop = crop_polygon(page, poly, pad=5)
+        assert crop.shape[0] >= 20 and crop.shape[1] >= 40
+        # corners (outside polygon) are whitened
+        assert crop[0, 0] == 255
+        # interior stays ink
+        assert crop[crop.shape[0] // 2, crop.shape[1] // 2] == 0
+
+    def test_policy_diacritics_and_tatweel(self):
+        text = "مُـحَمَّد"  # with harakat + tatweel
+        p1 = ArabicPolicy(strip_diacritics=True, remove_tatweel=True)
+        out = p1.apply(text)
+        assert "ـ" not in out
+        assert not any("ً" <= ch <= "ْ" for ch in out)
+        p2 = ArabicPolicy(strip_diacritics=False, remove_tatweel=False)
+        out2 = p2.apply(text)
+        assert "ـ" in out2
+
+    def test_policy_presentation_folding(self):
+        # U+FEFB (LAM-ALEF ligature presentation form) -> base forms
+        p = ArabicPolicy(fold_presentation=True)
+        assert p.apply("ﻻ") == "لا"
+        p_off = ArabicPolicy(fold_presentation=False)
+        assert p_off.apply("ﻻ") == "ﻻ"
+
+    def test_prepare_end_to_end(self, madcat_fixture, tmp_path):
+        out = str(tmp_path / "ds")
+        prepare_madcat(
+            madcat_fixture, out, height=32, val_frac=0.0, test_frac=0.0,
+            log=lambda *a: None,
+        )
+        ds = ShardedLineDataset(out, "train")
+        assert len(ds) == 2
+        texts = [uxxxx_to_utf8(t) for t in ds.transcripts()]
+        assert "السلام عليكم" in texts
+        rec = ds[0]
+        assert rec.image.shape[0] == 32
+        assert rec.image.min() < 120  # ink present after crop+normalize

@@ -100,10 +100,16 @@ class BatchPipeline:
         self._epoch = 0
 
         # --- static per-bucket batch sizes -----------------------------------
+        # Rounded to a multiple of lcm(8, batch_multiple): 8 keeps the batch
+        # axis sublane-aligned for f32 tiles in Pallas kernels; batch_multiple
+        # keeps it divisible across the data mesh axis.
+        import math as _math
+
+        align = 8 * batch_multiple // _math.gcd(8, batch_multiple)
         self.batch_sizes: List[int] = []
         for bw in contract.bucket_widths:
             b = max(min_batch, batch_pixels // (contract.height * bw))
-            b = max(batch_multiple, (b // batch_multiple) * batch_multiple)
+            b = max(align, (b // align) * align)
             self.batch_sizes.append(b)
 
         # --- bucket assignment (width AND label length) ----------------------
@@ -148,21 +154,35 @@ class BatchPipeline:
     def _assemble(self, bucket_idx: int, idxs: Sequence[int], bsz: int) -> Batch:
         spec = BucketSpec.of(self.contract, bucket_idx)
         n = len(idxs)
-        images = np.zeros((bsz, spec.height, spec.width), dtype=np.uint8)
-        images[:, :, :] = 255  # pad with paper, not ink
+        images = np.full((bsz, spec.height, spec.width), 255, dtype=np.uint8)
         widths = np.zeros((bsz,), dtype=np.int32)
         labels = np.zeros((bsz, spec.label_len), dtype=np.int32)
         label_lengths = np.zeros((bsz,), dtype=np.int32)
         valid = np.zeros((bsz,), dtype=bool)
         out_indices = np.zeros((bsz,), dtype=np.int64)
+
+        # Pixel copies go through the C++ assembler when built (GIL released
+        # -> the producer thread truly overlaps the main thread); metadata
+        # stays in Python either way.
+        from ..decode import native_binding as nb
+
+        use_native = nb.available()
+        srcs = [] if use_native else None
         for slot in range(bsz):
             i = idxs[slot] if slot < n else idxs[slot % n]  # pad tail by repeat
-            widths[slot] = self.dataset.read_into(i, images[slot])
+            if use_native:
+                img = self.dataset[i].image
+                srcs.append(np.ascontiguousarray(img))
+                widths[slot] = min(img.shape[1], spec.width)
+            else:
+                widths[slot] = self.dataset.read_into(i, images[slot])
             ids = self.encoded[i]
             labels[slot, : len(ids)] = ids
             label_lengths[slot] = len(ids)
             valid[slot] = slot < n
             out_indices[slot] = i
+        if use_native:
+            nb.assemble_native(srcs, images)
         return Batch(
             images=images,
             widths=widths,

@@ -1,5 +1,5 @@
 from .greedy import greedy_decode, greedy_frames, collapse_frames
-from .beam import BeamConfig, beam_decode, beam_topk, prefix_beam_search
+from .beam import BeamConfig, beam_decode, beam_topk, load_lm, prefix_beam_search
 from .lm import ArpaLM, train_char_lm
 
 __all__ = [
@@ -9,6 +9,7 @@ __all__ = [
     "BeamConfig",
     "beam_decode",
     "beam_topk",
+    "load_lm",
     "prefix_beam_search",
     "ArpaLM",
     "train_char_lm",

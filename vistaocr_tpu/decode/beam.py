@@ -178,16 +178,37 @@ def beam_decode(
     frame_mask: jax.Array,  # [B, T]
     alphabet: Alphabet,
     config: BeamConfig = BeamConfig(),
-    lm: Optional[ArpaLM] = None,
+    lm=None,  # ArpaLM (python path) | NativeLM (C++ path) | None
     valid: Optional[np.ndarray] = None,
 ) -> List[str]:
     """Batch beam decode -> best uxxxx hypothesis per valid sample.
-    Device does log-probs + top-k; host expands."""
+    Device does log-probs + top-k; host expands — through the C++ engine
+    when it is built and the LM (if any) is a NativeLM, else pure Python."""
     vals, ids = beam_topk(log_probs, min(config.topk, log_probs.shape[-1]))
     lp = np.asarray(log_probs)
     vals = np.asarray(vals)
     ids = np.asarray(ids)
-    frames = np.asarray(frame_mask).sum(axis=1)
+    frames = np.asarray(frame_mask).sum(axis=1).astype(np.int32)
+
+    from . import native_binding as nb
+
+    use_native = nb.available() and (lm is None or isinstance(lm, nb.NativeLM))
+    if use_native:
+        all_ids, _ = nb.beam_decode_batch_native(
+            lp, frames, ids, vals,
+            lm=lm,
+            lm_alpha=config.lm_alpha if lm is not None else 0.0,
+            lm_beta=config.lm_beta,
+            beam_width=config.beam_width,
+            prune_logp=config.prune_logp,
+            max_out=lp.shape[1],
+        )
+        return [
+            alphabet.decode(all_ids[b])
+            for b in range(lp.shape[0])
+            if valid is None or valid[b]
+        ]
+
     out = []
     for b in range(lp.shape[0]):
         if valid is not None and not valid[b]:
@@ -199,3 +220,13 @@ def beam_decode(
         )
         out.append(hyps[0][0] if hyps else "")
     return out
+
+
+def load_lm(path: str, alphabet: Alphabet):
+    """ARPA LM handle for beam_decode: the C++ scorer when the native lib
+    is built, else the Python ArpaLM."""
+    from . import native_binding as nb
+
+    if nb.available():
+        return nb.NativeLM(path, alphabet.tokens)
+    return ArpaLM.read_arpa(path)

@@ -1,0 +1,377 @@
+// Native CTC prefix beam search + ARPA n-gram scorer (component C14).
+//
+// The reference era shelled out to Kaldi/OpenFst/KenLM (C++) for LM-fused
+// decoding; this is the rebuild's in-process equivalent, exposed through a
+// plain C ABI and bound from Python via ctypes (vistaocr_tpu/decode/native.py).
+// The Python implementation in decode/beam.py + decode/lm.py is the
+// correctness oracle; tests/test_native_beam.py holds the two equal.
+//
+// Also carries the native batch assembler used by the host pipeline: the
+// per-line memcpy loop with the GIL released.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 beam.cpp -o _native.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+constexpr double kLog10 = 2.302585092994046;
+
+inline double logaddexp(double a, double b) {
+  if (a == kNegInf) return b;
+  if (b == kNegInf) return a;
+  double m = a > b ? a : b;
+  return m + std::log(std::exp(a - m) + std::exp(b - m));
+}
+
+// ---------------------------------------------------------------------------
+// ARPA LM over token ids. Vocabulary: alphabet ids 1..K-1 plus specials.
+// N-gram keys are byte-packed id sequences.
+// ---------------------------------------------------------------------------
+struct Entry {
+  float logp;     // natural log
+  float backoff;  // natural log
+};
+
+struct ArpaLM {
+  int order = 0;
+  int bos = -1, eos = -2, unk = -3;
+  std::vector<std::unordered_map<std::string, Entry>> tables;
+
+  static std::string key(const int* ids, int n) {
+    return std::string(reinterpret_cast<const char*>(ids),
+                       sizeof(int) * static_cast<size_t>(n));
+  }
+
+  const Entry* lookup(const int* ids, int n) const {
+    if (n < 1 || n > order) return nullptr;
+    const auto& t = tables[n - 1];
+    auto it = t.find(key(ids, n));
+    return it == t.end() ? nullptr : &it->second;
+  }
+
+  // log P(token | hist) with standard backoff; hist length <= order-1.
+  double logp(const int* hist, int n, int token) const {
+    std::vector<int> ng(hist, hist + n);
+    ng.push_back(token);
+    const Entry* e = lookup(ng.data(), n + 1);
+    if (e) return e->logp;
+    if (n == 0) {
+      int u = unk;
+      const Entry* ue = lookup(&u, 1);
+      return ue ? ue->logp : -20.0;
+    }
+    const Entry* bo = lookup(hist, n);
+    double backoff = bo ? bo->backoff : 0.0;
+    return backoff + logp(hist + 1, n - 1, token);
+  }
+};
+
+// Parse ARPA text. token_of maps an LM word string to an id (alphabet
+// index, or bos/eos/unk specials); unknown LM words get fresh negative ids
+// so their n-grams never match queries but stay well-formed.
+ArpaLM* load_arpa(const char* path,
+                  const std::unordered_map<std::string, int>& token_of) {
+  std::ifstream f(path);
+  if (!f) return nullptr;
+  auto lm = new ArpaLM();
+  std::string line;
+  // \data\ header
+  std::vector<int> counts;
+  while (std::getline(f, line)) {
+    if (line.find("\\data\\") != std::string::npos) break;
+  }
+  while (std::getline(f, line)) {
+    if (line.empty()) break;
+    if (line.rfind("ngram", 0) == 0) {
+      auto eq = line.find('=');
+      if (eq != std::string::npos) counts.push_back(std::stoi(line.substr(eq + 1)));
+    }
+  }
+  lm->order = static_cast<int>(counts.size());
+  if (lm->order == 0) { delete lm; return nullptr; }
+  lm->tables.resize(lm->order);
+
+  std::unordered_map<std::string, int> extra;
+  int next_extra = -10;
+  auto id_of = [&](const std::string& w) -> int {
+    if (w == "<s>") return lm->bos;
+    if (w == "</s>") return lm->eos;
+    if (w == "<unk>" || w == "<UNK>") return lm->unk;
+    auto it = token_of.find(w);
+    if (it != token_of.end()) return it->second;
+    auto ex = extra.find(w);
+    if (ex != extra.end()) return ex->second;
+    extra[w] = --next_extra;
+    return extra[w];
+  };
+
+  int cur_n = 0;
+  while (std::getline(f, line)) {
+    // trim
+    while (!line.empty() && (line.back() == '\r' || line.back() == '\n'))
+      line.pop_back();
+    if (line.empty()) continue;
+    if (line.find("\\end\\") != std::string::npos) break;
+    if (line.size() > 7 && line[0] == '\\' &&
+        line.find("-grams:") != std::string::npos) {
+      cur_n = std::stoi(line.substr(1));
+      continue;
+    }
+    if (cur_n == 0) continue;
+    std::istringstream ss(line);
+    double lp10;
+    if (!(ss >> lp10)) continue;
+    std::vector<int> ids;
+    ids.reserve(cur_n);
+    std::string w;
+    for (int i = 0; i < cur_n; i++) {
+      if (!(ss >> w)) break;
+      ids.push_back(id_of(w));
+    }
+    if (static_cast<int>(ids.size()) != cur_n) continue;
+    double bo10 = 0.0;
+    ss >> bo10;  // optional backoff column
+    Entry e;
+    e.logp = static_cast<float>(lp10 * kLog10);
+    e.backoff = static_cast<float>(bo10 * kLog10);
+    lm->tables[cur_n - 1][ArpaLM::key(ids.data(), cur_n)] = e;
+  }
+  return lm;
+}
+
+// ---------------------------------------------------------------------------
+// Prefix beam search (Hannun-style), mirroring decode/beam.py exactly.
+// ---------------------------------------------------------------------------
+struct Beam {
+  double p_b = kNegInf;
+  double p_nb = kNegInf;
+  double lm_logp = 0.0;
+  std::vector<int> lm_state;  // last order-1 token ids
+  double total() const { return logaddexp(p_b, p_nb); }
+};
+
+using BeamMap = std::unordered_map<std::string, Beam>;
+
+inline std::string prefix_key(const std::vector<int>& p) {
+  return std::string(reinterpret_cast<const char*>(p.data()),
+                     sizeof(int) * p.size());
+}
+
+struct Hypo {
+  std::vector<int> prefix;
+  double score;
+};
+
+void beam_search_one(
+    const float* logprobs, int T, int K,
+    const int* topk_ids, const float* topk_vals, int topk,
+    const ArpaLM* lm, double lm_alpha, double lm_beta,
+    int beam_width, double prune_logp,
+    std::vector<Hypo>& out) {
+  const bool use_lm = lm != nullptr && lm_alpha != 0.0;
+
+  // Prefixes stored side-table: key -> token vector
+  std::unordered_map<std::string, std::vector<int>> prefixes;
+  BeamMap beams;
+  {
+    Beam b0;
+    b0.p_b = 0.0;
+    if (use_lm) b0.lm_state.push_back(lm->bos);
+    beams[""] = b0;
+    prefixes[""] = {};
+  }
+
+  std::vector<int> ext;
+  for (int t = 0; t < T; t++) {
+    const float* lp = logprobs + static_cast<size_t>(t) * K;
+    double p_blank = lp[0];
+    double frame_best = p_blank;
+    for (int j = 0; j < topk; j++)
+      frame_best = std::max(frame_best,
+                            static_cast<double>(topk_vals[t * topk + j]));
+
+    BeamMap next;
+    std::unordered_map<std::string, std::vector<int>> next_prefixes;
+
+    for (auto& kv : beams) {
+      const std::string& pkey = kv.first;
+      Beam& beam = kv.second;
+      const std::vector<int>& prefix = prefixes[pkey];
+      double p_total = beam.total();
+
+      // blank -> same prefix (never pruned)
+      {
+        auto& nb = next[pkey];
+        if (next_prefixes.find(pkey) == next_prefixes.end()) {
+          next_prefixes[pkey] = prefix;
+          nb.lm_state = beam.lm_state;
+          nb.lm_logp = beam.lm_logp;
+        }
+        nb.p_b = logaddexp(nb.p_b, p_total + p_blank);
+      }
+
+      for (int j = 0; j < topk; j++) {
+        int c = topk_ids[t * topk + j];
+        double p_c = topk_vals[t * topk + j];
+        if (c == 0 || p_c < frame_best + prune_logp) continue;
+        int last = prefix.empty() ? -1 : prefix.back();
+        double src_p;
+        if (c == last) {
+          // repeat without blank: same prefix via p_nb
+          auto& nb = next[pkey];
+          if (next_prefixes.find(pkey) == next_prefixes.end()) {
+            next_prefixes[pkey] = prefix;
+            nb.lm_state = beam.lm_state;
+            nb.lm_logp = beam.lm_logp;
+          }
+          nb.p_nb = logaddexp(nb.p_nb, beam.p_nb + p_c);
+          src_p = beam.p_b;  // blank-separated repeat extends
+        } else {
+          src_p = p_total;
+        }
+        if (src_p == kNegInf) continue;
+        ext = prefix;
+        ext.push_back(c);
+        std::string ekey = prefix_key(ext);
+        auto it = next.find(ekey);
+        if (it == next.end()) {
+          Beam nb2;
+          nb2.lm_state = beam.lm_state;
+          nb2.lm_logp = beam.lm_logp;
+          if (use_lm) {
+            double lp_lm = lm->logp(beam.lm_state.data(),
+                                    static_cast<int>(beam.lm_state.size()), c);
+            nb2.lm_logp += lp_lm;
+            nb2.lm_state.push_back(c);
+            int keep = lm->order - 1;
+            if (static_cast<int>(nb2.lm_state.size()) > keep)
+              nb2.lm_state.erase(
+                  nb2.lm_state.begin(),
+                  nb2.lm_state.end() - keep);
+          }
+          it = next.emplace(ekey, std::move(nb2)).first;
+          next_prefixes[ekey] = ext;
+        }
+        it->second.p_nb = logaddexp(it->second.p_nb, src_p + p_c);
+      }
+    }
+
+    // prune to beam_width by fused score
+    std::vector<std::pair<double, std::string>> ranked;
+    ranked.reserve(next.size());
+    for (auto& kv : next) {
+      double s = kv.second.total();
+      if (use_lm)
+        s += lm_alpha * kv.second.lm_logp +
+             lm_beta * static_cast<double>(next_prefixes[kv.first].size());
+      ranked.emplace_back(s, kv.first);
+    }
+    int keep = std::min<int>(beam_width, static_cast<int>(ranked.size()));
+    std::partial_sort(ranked.begin(), ranked.begin() + keep, ranked.end(),
+                      [](const auto& a, const auto& b) { return a.first > b.first; });
+    BeamMap pruned;
+    std::unordered_map<std::string, std::vector<int>> pruned_prefixes;
+    for (int i = 0; i < keep; i++) {
+      pruned.emplace(ranked[i].second, std::move(next[ranked[i].second]));
+      pruned_prefixes.emplace(ranked[i].second,
+                              std::move(next_prefixes[ranked[i].second]));
+    }
+    beams.swap(pruned);
+    prefixes.swap(pruned_prefixes);
+  }
+
+  out.clear();
+  for (auto& kv : beams) {
+    double s = kv.second.total();
+    if (use_lm)
+      s += lm_alpha * kv.second.lm_logp +
+           lm_beta * static_cast<double>(prefixes[kv.first].size());
+    out.push_back({prefixes[kv.first], s});
+  }
+  std::sort(out.begin(), out.end(),
+            [](const Hypo& a, const Hypo& b) { return a.score > b.score; });
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+// alphabet_tokens: K-1 uxxxx strings for ids 1..K-1 (id 0 = blank).
+void* vo_lm_load(const char* arpa_path, const char** alphabet_tokens,
+                 int n_tokens) {
+  std::unordered_map<std::string, int> token_of;
+  for (int i = 0; i < n_tokens; i++) token_of[alphabet_tokens[i]] = i + 1;
+  return load_arpa(arpa_path, token_of);
+}
+
+void vo_lm_free(void* lm) { delete static_cast<ArpaLM*>(lm); }
+
+double vo_lm_logp(void* lm, const int* hist, int n, int token) {
+  return static_cast<ArpaLM*>(lm)->logp(hist, n, token);
+}
+
+// Decode a batch. logprobs: [B, Tmax, K]; frames: [B] valid frame counts;
+// topk_ids/vals: [B, Tmax, topk]; out_ids: [B, max_out]; out_lens: [B];
+// out_scores: [B]. Returns 0 on success.
+int vo_beam_decode_batch(
+    const float* logprobs, const int* frames, int B, int Tmax, int K,
+    const int* topk_ids, const float* topk_vals, int topk,
+    void* lm, double lm_alpha, double lm_beta,
+    int beam_width, double prune_logp,
+    int* out_ids, int max_out, int* out_lens, double* out_scores) {
+  std::vector<Hypo> hyps;
+  for (int b = 0; b < B; b++) {
+    int T = frames[b];
+    if (T < 0 || T > Tmax) return 1;
+    beam_search_one(
+        logprobs + static_cast<size_t>(b) * Tmax * K, T, K,
+        topk_ids + static_cast<size_t>(b) * Tmax * topk,
+        topk_vals + static_cast<size_t>(b) * Tmax * topk, topk,
+        static_cast<ArpaLM*>(lm), lm_alpha, lm_beta, beam_width, prune_logp,
+        hyps);
+    int n = 0;
+    double score = kNegInf;
+    if (!hyps.empty()) {
+      n = std::min<int>(max_out, static_cast<int>(hyps[0].prefix.size()));
+      std::memcpy(out_ids + static_cast<size_t>(b) * max_out,
+                  hyps[0].prefix.data(), sizeof(int) * n);
+      score = hyps[0].score;
+    }
+    out_lens[b] = n;
+    out_scores[b] = score;
+  }
+  return 0;
+}
+
+// Host pipeline batch assembly: copy n height-H lines (widths[i] columns,
+// contiguous uint8 [H, widths[i]]) into out [n, H, Wb] (pre-filled by the
+// caller). srcs are per-line base pointers. ctypes releases the GIL for
+// the duration, so assembly overlaps the interpreter.
+void vo_assemble(const uint8_t** srcs, const int* widths, int n,
+                 uint8_t* out, int H, int Wb) {
+  for (int i = 0; i < n; i++) {
+    const uint8_t* src = srcs[i];
+    int w = widths[i] < Wb ? widths[i] : Wb;
+    uint8_t* dst = out + static_cast<size_t>(i) * H * Wb;
+    for (int r = 0; r < H; r++) {
+      std::memcpy(dst + static_cast<size_t>(r) * Wb,
+                  src + static_cast<size_t>(r) * widths[i],
+                  static_cast<size_t>(w));
+    }
+  }
+}
+
+}  // extern "C"

@@ -40,7 +40,7 @@ def run_inference(
     lm_beta: float = 0.0,
     log=print,
 ) -> dict:
-    from .decode import ArpaLM, BeamConfig, beam_decode
+    from .decode import BeamConfig, beam_decode, load_lm
 
     model, variables, alphabet, contract = load_model(snapshot)
     ds = ShardedLineDataset(data_dir, split)
@@ -52,7 +52,7 @@ def run_inference(
         log(f"warning: {pipe.dropped} lines fit no bucket; skipped")
     eval_step = make_eval_step(model)
 
-    lm = ArpaLM.read_arpa(lm_path) if lm_path else None
+    lm = load_lm(lm_path, alphabet) if lm_path else None
     if decoder == "beam" and beam_config is None:
         beam_config = BeamConfig(
             lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta

@@ -84,11 +84,22 @@ def lstm_layer(
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
 
 
+def _resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    # The fused Pallas recurrence targets TPU (the axon platform is a
+    # tunneled TPU); everything else uses the scan path.
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "scan"
+
+
 class BLSTMStack(nn.Module):
     """Stacked bidirectional LSTM over the width axis.
 
     Output is [B, T, 2H] f32 (forward ++ backward states). Dropout is
     applied between layers (not after the last), as in the reference [M].
+
+    ``impl``: "scan" (lax.scan oracle path), "pallas" (fused kernel,
+    ops/lstm_pallas.py), or "auto" (pallas on TPU).
     """
 
     hidden: int = 512
@@ -96,12 +107,17 @@ class BLSTMStack(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"
 
     @nn.compact
     def __call__(
         self, x: jax.Array, mask: jax.Array, *, train: bool
     ) -> jax.Array:
         H = self.hidden
+        if _resolve_impl(self.impl) == "pallas":
+            from ..ops.lstm_pallas import lstm_layer_pallas as layer_fn
+        else:
+            layer_fn = lstm_layer
 
         def bias_init(key, shape, dtype):
             # forget-gate slice gets +1
@@ -127,7 +143,7 @@ class BLSTMStack(nn.Module):
                 )
                 b = self.param(f"{prefix}_b", bias_init, (4 * H,), self.param_dtype)
                 outs.append(
-                    lstm_layer(x, mask, wx, wh, b, reverse=reverse, dtype=self.dtype)
+                    layer_fn(x, mask, wx, wh, b, reverse=reverse, dtype=self.dtype)
                 )
             x = jnp.concatenate(outs, axis=-1)  # [B, T, 2H]
             if self.dropout > 0 and layer < self.layers - 1:

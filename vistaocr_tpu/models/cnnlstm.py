@@ -47,6 +47,7 @@ class ModelConfig:
     dropout: float = 0.1
     standardize_input: bool = True
     compute_dtype: str = "float32"  # "bfloat16" on TPU
+    lstm_impl: str = "auto"  # auto | scan | pallas (see models/blstm.py)
 
     @property
     def width_stride(self) -> int:
@@ -114,6 +115,7 @@ class CnnLstmOcr(nn.Module):
             layers=cfg.lstm_layers,
             dropout=cfg.dropout,
             dtype=dtype,
+            impl=cfg.lstm_impl,
             name="blstm",
         )(x, frame_mask, train=train)
 

@@ -38,7 +38,7 @@ import numpy as np
 from ..checkpoint import load_model
 from ..data.buckets import BucketSpec, ShapeContract
 from ..data.transforms import normalize_line
-from ..decode import ArpaLM, BeamConfig, beam_decode, greedy_decode
+from ..decode import BeamConfig, beam_decode, greedy_decode, load_lm
 from ..text import uxxxx_to_utf8
 from ..train import make_eval_step
 
@@ -78,7 +78,9 @@ class OcrService:
             snapshot
         )
         self._eval_step = make_eval_step(self.model)
-        self._lm = ArpaLM.read_arpa(config.lm_path) if config.lm_path else None
+        self._lm = (
+            load_lm(config.lm_path, self.alphabet) if config.lm_path else None
+        )
         self._queues: List[queue.Queue] = [
             queue.Queue() for _ in self.contract.bucket_widths
         ]

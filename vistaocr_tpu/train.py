@@ -96,6 +96,11 @@ class TrainConfig:
     mesh_model: int = 1
     resume: bool = False
     log_interval: int = 50
+    # Device-resident dataset cache (data/device_cache.py): per-epoch
+    # shuffling via on-device gather, zero steady-state H2D. "auto" enables
+    # it on TPU backends when the store fits device_cache_bytes.
+    device_cache: str = "auto"  # auto | on | off
+    device_cache_bytes: int = 4 * 2**30
 
     def model_config(self, num_classes: int) -> ModelConfig:
         stages = (
@@ -357,6 +362,31 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         else None
     )
     data_sharding = shard_batch_arrays(mesh)
+
+    use_cache = cfg.device_cache == "on" or (
+        cfg.device_cache == "auto"
+        and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_cache and cfg.device_cache_bytes:
+        from .data.device_cache import DeviceCache
+
+        try:
+            # Resident arrays replicated across the mesh: the per-step
+            # batch-sharding of gathered batches is then a LOCAL slice on
+            # every device, not a cross-device copy.
+            cache_sharding = replicated(mesh)
+            train_pipe = DeviceCache(
+                train_pipe, sharding=cache_sharding,
+                max_bytes=cfg.device_cache_bytes,
+            )
+            if val_pipe is not None:
+                val_pipe = DeviceCache(
+                    val_pipe, sharding=cache_sharding,
+                    max_bytes=cfg.device_cache_bytes,
+                )
+            log("device cache: dataset resident on device")
+        except MemoryError as e:
+            log(f"device cache disabled ({e}); streaming")
 
     plateau = PlateauController(
         cfg.lr, cfg.plateau_patience, cfg.plateau_decay, cfg.min_lr
