@@ -34,6 +34,17 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def _force(x):
+    """True device fence: block_until_ready on the tunneled axon backend
+    returns at dispatch-ack, not completion (measured: a matmul chain
+    "finished" at 187 PFLOPs). A scalar readback forces real completion;
+    programs execute in dispatch order, so fencing the last one fences
+    the stream."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
 def _ensure_data():
     from vistaocr_tpu.data import build_synthetic_dataset
 
@@ -129,7 +140,7 @@ def main():
             state, b.images, b.widths, b.labels, b.label_lengths,
             jnp.asarray(b.valid, jnp.float32), lr, rng,
         )
-        jax.block_until_ready(m["loss"])
+        _force(m["loss"])
         if b.images.shape not in seen:
             _log(f"compiled train {b.images.shape} in {time.time()-t_one:.1f}s")
         seen.add(b.images.shape)
@@ -138,18 +149,40 @@ def main():
     _log(f"warmup done in {time.time()-t_warm:.1f}s ({warm} steps)")
 
     # Timed training steps.
-    lines = 0
-    t0 = time.time()
-    for _ in range(TIMED_STEPS):
-        b = next(stream)
-        state, m = train_step(
-            state, b.images, b.widths, b.labels, b.label_lengths,
-            jnp.asarray(b.valid, jnp.float32), lr, rng,
-        )
-        lines += b.size
-    jax.block_until_ready(m["loss"])
+    fused = os.environ.get("BENCH_FUSED", "1") == "1" and hasattr(
+        pipe, "epoch_plan"
+    )
+    if fused:
+        from vistaocr_tpu.train import make_train_epoch
+
+        train_epoch = make_train_epoch(model, tx, label_average=False)
+        # compile each bucket's epoch program
+        for b_idx, arrays, idx, w in pipe.epoch_plan(0):
+            state, m = train_epoch(state, *arrays, idx, w, lr, rng)
+        _force(m["loss"])
+        _log("epoch programs compiled")
+        lines = 0
+        t0 = time.time()
+        epoch = 1
+        while lines < TIMED_STEPS * 120:  # comparable work volume
+            for b_idx, arrays, idx, w in pipe.epoch_plan(epoch):
+                state, m = train_epoch(state, *arrays, idx, w, lr, rng)
+                lines += int(idx.shape[0] * idx.shape[1])
+            epoch += 1
+        _force(m["loss"])
+    else:
+        lines = 0
+        t0 = time.time()
+        for _ in range(TIMED_STEPS):
+            b = next(stream)
+            state, m = train_step(
+                state, b.images, b.widths, b.labels, b.label_lengths,
+                jnp.asarray(b.valid, jnp.float32), lr, rng,
+            )
+            lines += b.size
+        _force(m["loss"])
     train_lps = lines / (time.time() - t0) / n_chips
-    _log(f"train timing done: {train_lps:.0f} lines/s/chip")
+    _log(f"train timing done: {train_lps:.0f} lines/s/chip (fused={fused})")
 
     # Warm up eval graphs (one compile per bucket shape), then time.
     seen_eval = set()
@@ -158,7 +191,7 @@ def main():
         if b.images.shape in seen_eval:
             continue
         out = eval_step(state.params, state.batch_stats, b.images, b.widths)
-        jax.block_until_ready(out[0])
+        _force(out[0])
         seen_eval.add(b.images.shape)
     _log("eval graphs compiled")
 
@@ -169,7 +202,7 @@ def main():
         b = next(stream)
         out = eval_step(state.params, state.batch_stats, b.images, b.widths)
         lines += b.size
-    jax.block_until_ready(out[0])
+    _force(out[0])
     eval_lps = lines / (time.time() - t0) / n_chips
 
     print(json.dumps({

@@ -1,0 +1,82 @@
+"""Epoch-fused trainer (lax.scan over device-resident batches) must be
+step-for-step equivalent to the per-step trainer given the same batch
+order."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vistaocr_tpu.data import build_synthetic_dataset, ShardedLineDataset, BatchPipeline, ShapeContract
+from vistaocr_tpu.data.device_cache import DeviceCache
+from vistaocr_tpu.data.synth import SynthConfig
+from vistaocr_tpu.models import CnnLstmOcr
+from vistaocr_tpu.text import Alphabet
+from vistaocr_tpu.train import (
+    TrainConfig,
+    TrainState,
+    make_optimizer,
+    make_train_epoch,
+    make_train_step,
+)
+
+
+class TestFusedEpoch:
+    def test_matches_per_step(self, tmp_path):
+        d = build_synthetic_dataset(
+            str(tmp_path), num_train=48, num_val=0, height=32, max_width=256,
+            config=SynthConfig(language="charset", charset="abc ", min_words=1,
+                               max_words=2),
+            seed=13,
+        )
+        ds = ShardedLineDataset(d, "train")
+        alpha = Alphabet.build(ds.transcripts())
+        contract = ShapeContract(bucket_widths=(128, 256))
+        pipe = BatchPipeline(ds, alpha, contract, batch_pixels=32 * 128 * 8,
+                             drop_remainder=True, seed=3)
+        cache = DeviceCache(pipe)
+
+        cfg = TrainConfig(tiny_model=True, compute_dtype="float32", dropout=0.0)
+        model = CnnLstmOcr(cfg.model_config(alpha.num_classes))
+        variables = model.init_params(jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg)
+
+        def fresh_state():
+            return TrainState(
+                params=jax.device_get(variables["params"]),
+                batch_stats=jax.device_get(variables["batch_stats"]),
+                opt_state=tx.init(variables["params"]),
+                step=jnp.asarray(0, jnp.int32),
+            )
+
+        lr = jnp.asarray(1e-3, jnp.float32)
+        rng = jax.random.PRNGKey(7)
+        plan = cache.epoch_plan(0)
+        assert plan, "need at least one full bucket"
+
+        # fused
+        train_epoch = make_train_epoch(model, tx, label_average=False,
+                                       ctc_impl="scan")
+        s_fused = fresh_state()
+        for b_idx, arrays, idx, w in plan:
+            s_fused, m = train_epoch(s_fused, *arrays, idx, w, lr, rng)
+
+        # per-step with identical batches
+        train_step = make_train_step(model, tx, label_average=False,
+                                     ctc_impl="scan")
+        s_step = fresh_state()
+        for b_idx, arrays, idx, w in plan:
+            imgs_all, w_all, lab_all, ll_all = arrays
+            for k in range(idx.shape[0]):
+                sel = idx[k]
+                s_step, _ = train_step(
+                    s_step, imgs_all[sel], w_all[sel], lab_all[sel],
+                    ll_all[sel], w[k], lr, rng,
+                )
+
+        assert int(s_fused.step) == int(s_step.step)
+        for a, b in zip(jax.tree.leaves(jax.device_get(s_fused.params)),
+                        jax.tree.leaves(jax.device_get(s_step.params))):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)

@@ -123,6 +123,32 @@ class DeviceCache:
     def device_epoch(self, epoch=None, *, sharding=None, prefetch=0):
         return self.epoch(epoch)
 
+    def epoch_plan(self, epoch: int):
+        """Index-matrix form of one epoch for the epoch-fused trainer
+        (train.make_train_epoch): yields
+        (bucket_idx, resident_arrays, idx [nb, B] int32, weights [nb, B]).
+        Full batches only (scan needs a rectangular plan); remainder tails
+        are dropped exactly as the streaming drop_remainder path does."""
+        pipe = self.pipe
+        rng = np.random.default_rng((pipe.seed, epoch))
+        plans = []
+        for b in self.resident:
+            n = len(pipe.bucket_members[b])
+            bsz = pipe.batch_sizes[b]
+            nb = n // bsz
+            if nb == 0:
+                continue
+            order = np.arange(n)
+            if pipe.shuffle:
+                rng.shuffle(order)
+            idx = order[: nb * bsz].reshape(nb, bsz).astype(np.int32)
+            weights = np.ones((nb, bsz), np.float32)
+            plans.append((b, self.resident[b], jnp.asarray(idx),
+                          jnp.asarray(weights)))
+        if pipe.shuffle:
+            rng.shuffle(plans)
+        return plans
+
     # surface the wrapped pipeline's metadata
     @property
     def dataset(self):

@@ -111,6 +111,12 @@ def ctc_loss(
     return -total
 
 
+def resolve_ctc_impl(impl: str = "auto") -> str:
+    if impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "scan"
+
+
 def mean_ctc_loss(
     log_probs: jax.Array,
     input_lengths: jax.Array,
@@ -120,6 +126,7 @@ def mean_ctc_loss(
     blank: int = 0,
     sample_weights: Optional[jax.Array] = None,
     label_average: bool = False,
+    impl: str = "auto",  # auto | scan | pallas
 ) -> jax.Array:
     """Batch-reduced CTC loss for training.
 
@@ -127,8 +134,15 @@ def mean_ctc_loss(
     the reference era: batch-sum / batch-size [M]); True divides each
     sample's loss by its label length first (per-char loss, more stable
     across bucket widths). ``sample_weights`` masks padding duplicates.
+    ``impl`` picks the scan oracle or the Pallas alpha-beta kernel
+    (ops/ctc_pallas.py); auto = Pallas on TPU backends.
     """
-    per = ctc_loss(log_probs, input_lengths, labels, label_lengths, blank=blank)
+    if resolve_ctc_impl(impl) == "pallas":
+        from .ctc_pallas import ctc_loss_pallas
+
+        per = ctc_loss_pallas(log_probs, input_lengths, labels, label_lengths, blank)
+    else:
+        per = ctc_loss(log_probs, input_lengths, labels, label_lengths, blank=blank)
     if label_average:
         per = per / jnp.maximum(label_lengths.astype(jnp.float32), 1.0)
     if sample_weights is None:

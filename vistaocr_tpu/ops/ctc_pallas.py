@@ -1,0 +1,311 @@
+"""Pallas CTC loss — the warp-ctc replacement (C12, SURVEY.md §2 native
+table; §7 hard-part #2).
+
+Structure mirrors the fused LSTM kernel: the sequential dependence over
+frames becomes a Pallas grid over T with the alpha (resp. beta) row
+resident in VMEM scratch, one grid step per frame; the banded dependence
+over extended-label states is vectorized on the VPU via lane rolls.
+
+Division of labor (chosen from measured costs, not dogma):
+- XLA (outside the kernels): the per-frame gather of extended-label
+  log-probs lp_ext[b,t,s] = log_probs[b,t,ext[b,s]] (one gather, fused),
+  the terminal-state reduction producing the loss, and the scatter-add
+  folding d(lp_ext) back onto the class axis (blank column is a plain
+  even-lane sum; only odd lanes scatter, and only onto L label slots).
+- Pallas: the two recursions, which XLA would otherwise run as a scan
+  with HBM-bounced carries.
+
+Gradients use the standard alpha-beta identity: with bt[t,s] the
+suffix-path mass INCLUDING frame t's emission,
+    d loss / d lp_ext[t,s] = -exp(alpha[t,s] + bt[t,s] - lp_ext[t,s] - logP).
+
+Numerics match ops/ctc.py (the lax.scan oracle) to ~1e-5 — enforced by
+tests/test_ctc_pallas.py in interpret mode and by the on-chip drive.
+All "minus infinity" values are NEG_INF = -1e30 (finite), so kernels and
+autodiff never produce inf - inf.
+
+Static-shape contract: S = 2L+1 padded up to a lane multiple (128);
+padded states are clamped to NEG_INF every step via a validity mask so
+no probability mass leaks in either direction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ctc import NEG_INF
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _logsumexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    valid = m > NEG_INF / 2
+    m_safe = jnp.where(valid, m, 0.0)
+    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    return jnp.where(valid, m_safe + jnp.log(s), NEG_INF)
+
+
+def _shift_right_lanes(x, k):
+    """[B, S] -> shifted along S (last axis), NEG_INF fill, via lane roll."""
+    rolled = pltpu.roll(x, k, axis=1)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    return jnp.where(s_idx >= k, rolled, NEG_INF)
+
+
+def _shift_left_lanes(x, k):
+    # pltpu.roll requires a non-negative shift: left-by-k == circular
+    # right-by-(S-k), then mask the wrapped lanes.
+    rolled = pltpu.roll(x, x.shape[1] - k, axis=1)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    return jnp.where(s_idx < x.shape[1] - k, rolled, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# Forward: alpha recursion
+# ---------------------------------------------------------------------------
+def _alpha_kernel(lp_ref, active_ref, skip_ref, svalid_ref, alphas_ref, a_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, a_ref.shape, dimension=1)
+        a_ref[:] = jnp.where(s_idx == 0, 0.0, NEG_INF)
+
+    alpha = a_ref[:]
+    lp = lp_ref[0]  # [B, S]
+    stay = alpha
+    adv = _shift_right_lanes(alpha, 1)
+    skp = jnp.where(skip_ref[:] > 0, _shift_right_lanes(alpha, 2), NEG_INF)
+    new = _logsumexp3(stay, adv, skp) + lp
+    new = jnp.maximum(new, NEG_INF)
+    new = jnp.where(svalid_ref[:] > 0, new, NEG_INF)
+    active = active_ref[0, 0].astype(jnp.float32)[:, None]  # [B, 1]
+    alpha = active * 0.0 + jnp.where(active > 0, new, alpha)
+    a_ref[:] = alpha
+    alphas_ref[0] = alpha
+
+
+def _run_alpha(lp_ext, active, skip, svalid, *, interpret=False):
+    T, B, S = lp_ext.shape
+    return pl.pallas_call(
+        _alpha_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(lp_ext, active, skip, svalid)
+
+
+# ---------------------------------------------------------------------------
+# Backward: beta (suffix) recursion emitting d(lp_ext) directly
+# ---------------------------------------------------------------------------
+def _beta_kernel(
+    lp_ref, active_ref, islast_ref, skip2_ref, svalid_ref, terminal_ref,
+    alphas_ref, logp_ref,
+    dlp_ref,
+    bt_ref,
+):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        bt_ref[:] = jnp.full_like(bt_ref, NEG_INF)
+
+    lp = lp_ref[0]  # [B, S]
+    carry = bt_ref[:]  # bt[t+1]
+    cont = _logsumexp3(
+        carry,
+        _shift_left_lanes(carry, 1),
+        jnp.where(skip2_ref[:] > 0, _shift_left_lanes(carry, 2), NEG_INF),
+    )
+    is_last = islast_ref[0, 0].astype(jnp.float32)[:, None]
+    tail = jnp.where(is_last > 0, terminal_ref[:], cont)
+    bt = lp + tail
+    bt = jnp.maximum(bt, NEG_INF)
+    bt = jnp.where(svalid_ref[:] > 0, bt, NEG_INF)
+    active = active_ref[0, 0].astype(jnp.float32)[:, None]
+    bt = jnp.where(active > 0, bt, carry)
+    bt_ref[:] = bt
+
+    # d lp_ext[t, s] = -exp(alpha + bt - lp - logP); zero where inactive
+    # or unreachable.
+    alpha = alphas_ref[0]
+    expo = alpha + bt - lp - logp_ref[0][:, None]
+    grad = -jnp.exp(jnp.minimum(expo, 0.0))
+    grad = jnp.where(
+        (alpha > NEG_INF / 2) & (bt > NEG_INF / 2) & (active > 0), grad, 0.0
+    )
+    dlp_ref[0] = grad
+
+
+def _run_beta(
+    lp_ext, active, islast, skip2, svalid, terminal, alphas, logp,
+    *, interpret=False,
+):
+    T, B, S = lp_ext.shape
+    rev3 = lambda k: (T - 1 - k, 0, 0)  # noqa: E731
+    inv2 = lambda k: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        _beta_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, S), rev3, memory_space=pltpu.VMEM),  # lp_ext
+            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),  # active
+            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),  # is_last
+            pl.BlockSpec((B, S), inv2, memory_space=pltpu.VMEM),  # skip2
+            pl.BlockSpec((B, S), inv2, memory_space=pltpu.VMEM),  # svalid
+            pl.BlockSpec((B, S), inv2, memory_space=pltpu.VMEM),  # terminal
+            pl.BlockSpec((1, B, S), rev3, memory_space=pltpu.VMEM),  # alphas
+            pl.BlockSpec((1, B), inv2, memory_space=pltpu.VMEM),  # logP
+        ],
+        out_specs=pl.BlockSpec((1, B, S), rev3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(lp_ext, active, islast, skip2, svalid, terminal, alphas, logp)
+
+
+# ---------------------------------------------------------------------------
+# Assembly (XLA side)
+# ---------------------------------------------------------------------------
+def _prepare(log_probs, input_lengths, labels, blank):
+    """Build the extended-label tensors (all static shapes)."""
+    B, T, K = log_probs.shape
+    L = labels.shape[1]
+    S = _round_up(2 * L + 1, 128)
+
+    ext = jnp.full((B, S), blank, labels.dtype)
+    ext = ext.at[:, 1 : 2 * L + 1 : 2].set(labels)
+    skip = jnp.zeros((B, S), jnp.float32)
+    if L > 1:
+        skip = skip.at[:, 3 : 2 * L + 1 : 2].set(
+            (labels[:, 1:] != labels[:, :-1]).astype(jnp.float32)
+        )
+
+    # lp_ext[b, t, s] = log_probs[b, t, ext[b, s]]  (one fused gather)
+    lp_ext = jnp.take_along_axis(
+        log_probs.astype(jnp.float32), ext[:, None, :], axis=2
+    )
+    lp_ext = jnp.swapaxes(lp_ext, 0, 1)  # [T, B, S]
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, 1, B), dimension=0)
+    active = (t_idx < input_lengths[None, None, :]).astype(jnp.float32)
+    islast = (t_idx == (input_lengths - 1)[None, None, :]).astype(jnp.float32)
+    return lp_ext, skip, active, islast, ext, S
+
+
+def _state_masks(label_lengths, S):
+    B = label_lengths.shape[0]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), dimension=1)
+    n_states = 2 * label_lengths[:, None] + 1
+    svalid = (s_idx < n_states).astype(jnp.float32)
+    terminal = jnp.where(
+        (s_idx == n_states - 1) | ((s_idx == n_states - 2) & (label_lengths[:, None] > 0)),
+        0.0,
+        NEG_INF,
+    )
+    return svalid, terminal
+
+
+def _loss_from_alphas(alphas, input_lengths, label_lengths):
+    """Gather alpha at each sample's true last frame / terminal states."""
+    B = input_lengths.shape[0]
+    last = jnp.maximum(input_lengths - 1, 0)  # [B]
+    a_last = alphas[last, jnp.arange(B), :]  # [B, S]
+    idx_blank = (2 * label_lengths)[:, None]
+    a_blank = jnp.take_along_axis(a_last, idx_blank, axis=1)[:, 0]
+    idx_sym = jnp.maximum(idx_blank - 1, 0)
+    a_sym = jnp.take_along_axis(a_last, idx_sym, axis=1)[:, 0]
+    a_sym = jnp.where(label_lengths > 0, a_sym, NEG_INF)
+    m = jnp.maximum(a_blank, a_sym)
+    valid = m > NEG_INF / 2
+    m_safe = jnp.where(valid, m, 0.0)
+    tot = m_safe + jnp.log(
+        jnp.where(valid, jnp.exp(a_blank - m_safe) + jnp.exp(a_sym - m_safe), 1.0)
+    )
+    return jnp.where(valid, tot, NEG_INF)  # log P, [B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ctc_loss_pallas(
+    log_probs, input_lengths, labels, label_lengths,
+    blank: int = 0, interpret: bool = False,
+):
+    """Per-sample CTC negative log-likelihood [B]; drop-in for ops.ctc.ctc_loss."""
+    loss, _ = _fwd(log_probs, input_lengths, labels, label_lengths, blank, interpret)
+    return loss
+
+
+def _fwd(log_probs, input_lengths, labels, label_lengths, blank, interpret):
+    lp_ext, skip, active, islast, ext, S = _prepare(
+        log_probs, input_lengths, labels, blank
+    )
+    svalid, terminal = _state_masks(label_lengths, S)
+    alphas = _run_alpha(lp_ext, active, skip, svalid, interpret=interpret)
+    logp = _loss_from_alphas(alphas, input_lengths, label_lengths)
+    residuals = (
+        lp_ext, skip, active, islast, svalid, terminal, alphas, logp,
+        labels, input_lengths, label_lengths, log_probs.shape,
+    )
+    return -logp, residuals
+
+
+def _bwd(blank, interpret, residuals, g):
+    (lp_ext, skip, active, islast, svalid, terminal, alphas, logp,
+     labels, input_lengths, label_lengths, lp_shape) = residuals
+    B, T, K = lp_shape
+    L = labels.shape[1]
+    # skip2[s] gates the beta transition s -> s+2: allowed iff skip[s+2].
+    skip2 = _shift_left_lanes_host(skip, 2)
+    dlp_ext = _run_beta(
+        lp_ext, active, islast, skip2, svalid, terminal, alphas,
+        logp[None, :], interpret=interpret,
+    )  # [T, B, S], d(-logP)/d lp_ext
+    dlp_ext = jnp.swapaxes(dlp_ext, 0, 1)  # [B, T, S]
+    # chain the incoming cotangent (per-sample) through
+    dlp_ext = dlp_ext * g[:, None, None]
+
+    # Fold extended states back onto classes:
+    #   blank column = sum of even states; labels scatter from odd states.
+    dlp = jnp.zeros((B, T, K), jnp.float32)
+    even = dlp_ext[:, :, 0 : 2 * L + 1 : 2].sum(axis=2)
+    dlp = dlp.at[:, :, blank].set(even)
+    odd = dlp_ext[:, :, 1 : 2 * L + 1 : 2]  # [B, T, L]
+    b_idx = jnp.arange(B)[:, None, None]
+    t_idx = jnp.arange(T)[None, :, None]
+    l_idx = labels[:, None, :].repeat(T, axis=1)
+    dlp = dlp.at[b_idx, t_idx, l_idx].add(odd)
+    return (dlp.astype(jnp.float32), None, None, None)
+
+
+def _shift_left_lanes_host(x, k):
+    """XLA-side left shift with NEG_INF fill (same semantics as the kernel
+    helper; used to precompute the beta skip gate)."""
+    pad = jnp.full(x.shape[:-1] + (k,), 0.0, x.dtype)
+    return jnp.concatenate([x[..., k:], pad], axis=-1)
+
+
+ctc_loss_pallas.defvjp(_fwd, _bwd)

@@ -84,6 +84,7 @@ class TrainConfig:
     momentum: float = 0.9
     grad_clip: float = 5.0
     label_average: bool = False
+    ctc_impl: str = "auto"  # auto | scan | pallas (ops/ctc.py)
     epochs: int = 50
     max_steps: int = 0  # 0 = unlimited
     # validation / snapshots
@@ -173,7 +174,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), core)
 
 
-def make_train_step(model: CnnLstmOcr, tx, label_average: bool):
+def make_train_step(model: CnnLstmOcr, tx, label_average: bool,
+                    ctc_impl: str = "auto"):
     def train_step(state, images, widths, labels, label_lengths, weights, lr, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
@@ -195,6 +197,7 @@ def make_train_step(model: CnnLstmOcr, tx, label_average: bool):
                 label_lengths,
                 sample_weights=weights,
                 label_average=label_average,
+                impl=ctc_impl,
             )
             return loss, updates["batch_stats"]
 
@@ -214,6 +217,63 @@ def make_train_step(model: CnnLstmOcr, tx, label_average: bool):
         return new_state, {"loss": loss, "gnorm": gnorm}
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_train_epoch(model: CnnLstmOcr, tx, label_average: bool,
+                     ctc_impl: str = "auto"):
+    """Epoch-fused trainer: one jitted program runs a whole bucket's worth
+    of steps as a lax.scan over device-resident data, gathering each batch
+    by index on device. Removes per-step host dispatch entirely — on a
+    host-weak TPU rig the Python step loop is measurable overhead.
+
+    Returns fn(state, images_all, widths_all, labels_all, ll_all,
+               idx [nb, B], weights [nb, B], lr, rng) -> (state, metrics).
+    Ordering note: batches inside one call share a bucket (static shapes),
+    so inter-bucket interleaving happens at the granularity of these calls
+    — coarser than the reference's per-batch shuffle; CER parity runs can
+    use the per-step path (fit(..., fused_epochs=False))."""
+
+    def train_epoch(state, images_all, widths_all, labels_all, ll_all,
+                    idx, weights, lr, rng):
+        def body(state, inp):
+            idx_b, w_b = inp
+            images = images_all[idx_b]
+            widths = widths_all[idx_b]
+            labels = labels_all[idx_b]
+            lls = ll_all[idx_b]
+            dropout_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                outs, updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, widths, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng},
+                )
+                log_probs, frame_mask = outs
+                frames = frame_mask.sum(axis=1).astype(jnp.int32)
+                loss = mean_ctc_loss(
+                    log_probs, frames, labels, lls,
+                    sample_weights=w_b, label_average=label_average,
+                    impl=ctc_impl,
+                )
+                return loss, updates["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params, batch_stats=new_bs, opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return new_state, loss
+
+        state, losses = jax.lax.scan(body, state, (idx, weights))
+        return state, {"loss": jnp.mean(losses), "last_loss": losses[-1]}
+
+    return jax.jit(train_epoch, donate_argnums=(0,))
 
 
 def make_eval_step(model: CnnLstmOcr):
@@ -333,7 +393,7 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         else replicated(mesh),
     )
 
-    train_step = make_train_step(model, tx, cfg.label_average)
+    train_step = make_train_step(model, tx, cfg.label_average, cfg.ctc_impl)
     eval_step = make_eval_step(model)
 
     train_pipe = BatchPipeline(
