@@ -81,9 +81,14 @@ def main():
     n_chips = len(jax.devices())
     mesh = make_mesh(MeshConfig(model=1))
 
+    from vistaocr_tpu.data.buckets import make_ladder
+
     ds = ShardedLineDataset(data_dir, "train")
     alphabet = Alphabet.build(ds.transcripts())
-    contract = ShapeContract(bucket_widths=(256, 384, 512, 768, 1024))
+    # Corpus-tuned ladder: padding waste bounded at 6% (SURVEY.md C7).
+    ladder = make_ladder(ds.widths, stride=4, align=128, max_waste=0.06)
+    _log(f"bucket ladder: {ladder}")
+    contract = ShapeContract(bucket_widths=ladder)
     cfg = ModelConfig(
         num_classes=alphabet.num_classes,
         compute_dtype="bfloat16",
@@ -105,7 +110,7 @@ def main():
 
     pipe = BatchPipeline(
         ds, alphabet, contract,
-        batch_pixels=2**21,
+        batch_pixels=int(os.environ.get("BENCH_BATCH_PIXELS", 2**22)),
         batch_multiple=mesh.shape["data"],
         drop_remainder=True,
         seed=7,

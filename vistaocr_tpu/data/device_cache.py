@@ -49,7 +49,7 @@ class DeviceCache:
         self.contract = pipe.contract
         total = 0
         for b, members in enumerate(pipe.bucket_members):
-            spec = BucketSpec.of(pipe.contract, b)
+            spec = pipe.spec_for(b)
             total += len(members) * (spec.height * spec.width + 4 * spec.label_len)
         if total > max_bytes:
             raise MemoryError(
@@ -61,7 +61,7 @@ class DeviceCache:
         for b, members in enumerate(pipe.bucket_members):
             if not members:
                 continue
-            spec = BucketSpec.of(pipe.contract, b)
+            spec = pipe.spec_for(b)
             n = len(members)
             imgs = np.full((n, spec.height, spec.width), 255, np.uint8)
             widths = np.zeros((n,), np.int32)
@@ -102,7 +102,7 @@ class DeviceCache:
         if pipe.shuffle:
             rng.shuffle(plan)
         for b, slots, bsz in plan:
-            spec = BucketSpec.of(self.contract, b)
+            spec = pipe.spec_for(b)
             k = len(slots)
             if k < bsz:  # pad tail by cyclic repeat (eval only), flag via valid
                 slots = np.resize(slots, bsz)

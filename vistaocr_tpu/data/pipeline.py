@@ -117,6 +117,7 @@ class BatchPipeline:
         self.encoded: List[np.ndarray] = []
         self.dropped = 0
         widths = dataset.widths
+        max_label = [0] * len(contract.bucket_widths)
         for i in range(len(dataset)):
             ids = np.asarray(alphabet.encode(dataset.transcript(i)), dtype=np.int32)
             self.encoded.append(ids)
@@ -124,10 +125,36 @@ class BatchPipeline:
             for b, bw in enumerate(contract.bucket_widths):
                 if widths[i] <= bw and len(ids) <= contract.label_cap(bw):
                     self.bucket_members[b].append(i)
+                    max_label[b] = max(max_label[b], len(ids))
                     placed = True
                     break
             if not placed:
                 self.dropped += 1
+
+        # Data-driven per-bucket label caps: the contract cap (= frame count)
+        # is a worst case; real transcripts are much shorter, and CTC cost
+        # scales with the extended-state count S = 2L+1. Caps snap to the
+        # (64k - 1) ladder so S lands exactly on a 128-lane boundary.
+        self.label_caps: List[int] = []
+        for b, bw in enumerate(contract.bucket_widths):
+            hard = contract.label_cap(bw)
+            need = max(max_label[b], 1)
+            cap = next(
+                (c for c in (15, 31, 63, 127, 191, 255, 383, 511) if c >= need),
+                need,
+            )
+            self.label_caps.append(min(cap, hard))
+
+    def spec_for(self, bucket_idx: int) -> BucketSpec:
+        """BucketSpec with the data-driven label cap (use instead of
+        BucketSpec.of inside the pipeline/cache hot paths)."""
+        spec = BucketSpec.of(self.contract, bucket_idx)
+        return BucketSpec(
+            width=spec.width,
+            height=spec.height,
+            frames=spec.frames,
+            label_len=self.label_caps[bucket_idx],
+        )
 
     def __len__(self) -> int:
         total = 0
@@ -146,13 +173,13 @@ class BatchPipeline:
         for b, (members, bsz) in enumerate(zip(self.bucket_members, self.batch_sizes)):
             n = len(members)
             if n and (not self.drop_remainder or n >= bsz):
-                spec = BucketSpec.of(self.contract, b)
+                spec = self.spec_for(b)
                 shapes.append((bsz, spec.height, spec.width, spec.label_len))
         return shapes
 
     # ---- batch assembly -----------------------------------------------------
     def _assemble(self, bucket_idx: int, idxs: Sequence[int], bsz: int) -> Batch:
-        spec = BucketSpec.of(self.contract, bucket_idx)
+        spec = self.spec_for(bucket_idx)
         n = len(idxs)
         images = np.full((bsz, spec.height, spec.width), 255, dtype=np.uint8)
         widths = np.zeros((bsz,), dtype=np.int32)

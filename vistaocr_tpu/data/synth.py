@@ -82,6 +82,7 @@ WORD_LISTS = {"en": _EN_WORDS, "fa": _FA_WORDS, "ar": _AR_WORDS}
 class SynthConfig:
     language: str = "en"  # en | fa | ar | charset
     charset: Optional[str] = None  # used when language == "charset"
+    words: Optional[Sequence[str]] = None  # overrides the built-in word list
     min_words: int = 2
     max_words: int = 9
     font_size_range: tuple = (24, 40)
@@ -89,6 +90,19 @@ class SynthConfig:
     blur_prob: float = 0.0
     rotate_max_deg: float = 0.0
     fonts: Sequence[str] = field(default_factory=_find_fonts)
+
+
+def _font_cmap(path: str):
+    """Set of codepoints a TTF actually maps (cached). Prevents tofu-box
+    rendering: DejaVu Serif/Mono lack Arabic while DejaVu Sans has it."""
+    if path not in _font_cmap._cache:
+        from fontTools.ttLib import TTFont
+
+        _font_cmap._cache[path] = set(TTFont(path).getBestCmap().keys())
+    return _font_cmap._cache[path]
+
+
+_font_cmap._cache = {}
 
 
 class SyntheticLineGenerator:
@@ -107,6 +121,16 @@ class SyntheticLineGenerator:
             self._fonts_cache[key] = ImageFont.truetype(path, size)
         return self._fonts_cache[key]
 
+    def _fonts_covering(self, text: str) -> List[str]:
+        cps = {ord(c) for c in text if c != " "}
+        good = [p for p in self.config.fonts if cps <= _font_cmap(p)]
+        if not good:
+            raise ValueError(
+                f"no available font covers all glyphs of {text!r}; "
+                f"fonts: {[os.path.basename(p) for p in self.config.fonts]}"
+            )
+        return good
+
     def sample_text(self) -> str:
         cfg = self.config
         rng = self.rng
@@ -118,7 +142,7 @@ class SyntheticLineGenerator:
             text = "".join(chars)
             text = " ".join(text.split())
             return text if text else "a"
-        words = WORD_LISTS[cfg.language]
+        words = cfg.words if cfg.words else WORD_LISTS[cfg.language]
         n = int(rng.integers(cfg.min_words, cfg.max_words + 1))
         picks = [words[int(i)] for i in rng.integers(0, len(words), n)]
         return " ".join(picks)
@@ -126,7 +150,8 @@ class SyntheticLineGenerator:
     def render(self, text: str, height: int, max_width: Optional[int] = None) -> np.ndarray:
         cfg = self.config
         rng = self.rng
-        font_path = cfg.fonts[int(rng.integers(0, len(cfg.fonts)))]
+        fonts = self._fonts_covering(text)
+        font_path = fonts[int(rng.integers(0, len(fonts)))]
         size = int(rng.integers(cfg.font_size_range[0], cfg.font_size_range[1] + 1))
         font = self._font(font_path, size)
 
@@ -194,3 +219,45 @@ def build_synthetic_dataset(
         extra={"source": "synthetic", "language": cfg.language, "seed": seed},
     )
     return dataset_dir
+
+
+def main(argv=None):
+    """CLI: python -m vistaocr_tpu.data.synth --out <dir> --language fa ..."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Render a synthetic line dataset")
+    p.add_argument("--out", required=True)
+    p.add_argument("--language", default="en", choices=("en", "fa", "ar", "charset"))
+    p.add_argument("--charset", default=None)
+    p.add_argument("--num-train", type=int, default=2048)
+    p.add_argument("--num-val", type=int, default=256)
+    p.add_argument("--num-test", type=int, default=256)
+    p.add_argument("--height", type=int, default=32)
+    p.add_argument("--max-width", type=int, default=1024)
+    p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--blur-prob", type=float, default=0.0)
+    p.add_argument("--rotate-max-deg", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    cfg = SynthConfig(
+        language=args.language,
+        charset=args.charset,
+        noise=args.noise,
+        blur_prob=args.blur_prob,
+        rotate_max_deg=args.rotate_max_deg,
+    )
+    build_synthetic_dataset(
+        args.out,
+        num_train=args.num_train,
+        num_val=args.num_val,
+        num_test=args.num_test,
+        height=args.height,
+        max_width=args.max_width,
+        config=cfg,
+        seed=args.seed,
+    )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

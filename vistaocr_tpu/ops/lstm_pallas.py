@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
-def _fwd_kernel(xw_ref, mask_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref, *, dtype):
+def _fwd_kernel(xw_ref, mask_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref,
+                *, dtype, unroll):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -53,23 +54,39 @@ def _fwd_kernel(xw_ref, mask_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref, *, dtype
 
     h = h_ref[:]
     c = c_ref[:]
-    gates = xw_ref[0] + jnp.dot(
-        h.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32
-    )
+    wh = wh_ref[:]
     H = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    m = mask_ref[0, 0].astype(jnp.float32)[:, None]
-    h_new = m * h_new + (1.0 - m) * h
-    c_new = m * c_new + (1.0 - m) * c
-    h_ref[:] = h_new
-    c_ref[:] = c_new
-    ys_ref[0] = h_new
-    cs_ref[0] = c_new
+    # ``unroll`` timesteps per grid step: the recurrent matmul is small, so
+    # per-step block swaps dominate at U=1.
+    for u in range(unroll):
+        gates = xw_ref[u] + jnp.dot(
+            h.astype(dtype), wh, preferred_element_type=jnp.float32
+        )
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = mask_ref[u, 0].astype(jnp.float32)[:, None]
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        ys_ref[u] = h
+        cs_ref[u] = c
+    h_ref[:] = h
+    c_ref[:] = c
+
+
+def _pick_unroll(T: int, step_bytes: int) -> int:
+    """Timesteps per grid step, bounded by a VMEM budget: ``step_bytes`` is
+    the total streamed bytes per timestep across ALL operands; blocks are
+    double-buffered, so U * step_bytes * 2 plus weights/scratch must stay
+    under the ~128MB physical VMEM."""
+    budget = 32 * 1024 * 1024
+    for u in (4, 2):
+        if T % u == 0 and u * step_bytes <= budget:
+            return u
+    return 1
 
 
 def _lstm_fwd_pallas(
@@ -82,18 +99,19 @@ def _lstm_fwd_pallas(
 ) -> Tuple[jax.Array, jax.Array]:
     T, B, H4 = xw.shape
     H = H4 // 4
-    kernel = functools.partial(_fwd_kernel, dtype=dtype)
+    U = _pick_unroll(T, 4 * B * (H4 + 2 * H))
+    kernel = functools.partial(_fwd_kernel, dtype=dtype, unroll=U)
     ys, cs = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // U,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
@@ -103,6 +121,9 @@ def _lstm_fwd_pallas(
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xw, mask, wh)
     return ys, cs
@@ -112,17 +133,23 @@ def _lstm_fwd_pallas(
 # Backward kernel (reverse-time BPTT with gate recomputation)
 # ---------------------------------------------------------------------------
 def _bwd_kernel(
-    xw_ref, mask_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_cur_ref, dys_ref,
+    xw_ref, mask_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_next_ref, dys_ref,
     dxw_ref, dwh_ref,
     dh_ref, dc_ref,
-    *, dtype,
+    *, dtype, unroll,
 ):
-    """Grid runs t = T-1 .. 0 (via index_map reversal). Recomputes the gate
-    activations for step t from xw_t and h_{t-1}, then backprops.
+    """Grid runs blocks of ``unroll`` frames in reverse time order,
+    recomputing gate activations from xw and the saved states, then
+    backpropagating.
 
-    The previous/current state rows come from the zero-padded (ys, cs)
-    arrays passed twice with index maps shifted by one row (BlockSpec
-    indices are in block units, so overlapping windows can't be one spec).
+    State plumbing under unrolling: the zero-padded state arrays are passed
+    as two ALIGNED blocks — ys_prev/cs_prev cover padded rows
+    [t0 .. t0+U-1] (the PREVIOUS state for each frame in the block), and
+    cs_next covers rows [t0+U .. t0+2U-1] whose first row is the current
+    state of the block's newest frame. Current state of frame u is then
+    cs_prev[u+1] for u < U-1 and cs_next[0] for u = U-1 — all static
+    slices (BlockSpec index maps are in block units, so overlapping
+    windows cannot be expressed in one spec).
     """
     k = pl.program_id(0)
 
@@ -132,50 +159,56 @@ def _bwd_kernel(
         dc_ref[:] = jnp.zeros_like(dc_ref)
         dwh_ref[:] = jnp.zeros_like(dwh_ref)
 
-    h_prev = ys_prev_ref[0]
-    c_prev = cs_prev_ref[0]
-    c_t = cs_cur_ref[0]
+    wh = wh_ref[:]
+    H = dh_ref.shape[-1]
+    dh_carry = dh_ref[:]
+    dc_carry = dc_ref[:]
+    dwh_acc = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
+    for u in reversed(range(unroll)):
+        h_prev = ys_prev_ref[u]
+        c_prev = cs_prev_ref[u]
+        c_t = cs_prev_ref[u + 1] if u + 1 < unroll else cs_next_ref[0]
 
-    gates = xw_ref[0] + jnp.dot(
-        h_prev.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32
-    )
-    H = h_prev.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    tanh_c = jnp.tanh(c_t)
+        gates = xw_ref[u] + jnp.dot(
+            h_prev.astype(dtype), wh, preferred_element_type=jnp.float32
+        )
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        tanh_c = jnp.tanh(c_t)
 
-    m = mask_ref[0, 0].astype(jnp.float32)[:, None]
-    dh = dh_ref[:] + dys_ref[0]  # incoming: recurrent grad + output grad
-    dc = dc_ref[:]
+        m = mask_ref[u, 0].astype(jnp.float32)[:, None]
+        dh = dh_carry + dys_ref[u]
+        dc = dc_carry
 
-    # Valid-step grads. Write each gate slice straight into dxw_ref to keep
-    # the VMEM stack small (no [B,4H] concat temporary).
-    do = dh * tanh_c
-    dc_t = dc + dh * o * (1.0 - tanh_c * tanh_c)
-    dxw_ref[0, :, :H] = (dc_t * g) * i * (1.0 - i) * m
-    dxw_ref[0, :, H : 2 * H] = (dc_t * c_prev) * f * (1.0 - f) * m
-    dxw_ref[0, :, 2 * H : 3 * H] = (dc_t * i) * (1.0 - g * g) * m
-    dxw_ref[0, :, 3 * H :] = do * o * (1.0 - o) * m
-    dgates = dxw_ref[0]
+        # Write each gate slice straight into dxw_ref (no concat temp).
+        do = dh * tanh_c
+        dc_t = dc + dh * o * (1.0 - tanh_c * tanh_c)
+        dxw_ref[u, :, :H] = (dc_t * g) * i * (1.0 - i) * m
+        dxw_ref[u, :, H : 2 * H] = (dc_t * c_prev) * f * (1.0 - f) * m
+        dxw_ref[u, :, 2 * H : 3 * H] = (dc_t * i) * (1.0 - g * g) * m
+        dxw_ref[u, :, 3 * H :] = do * o * (1.0 - o) * m
+        dgates = dxw_ref[u]
 
-    # dwh += h_prev^T @ dgates, contracting the batch axis directly (no
-    # materialized transpose).
-    dwh_ref[:] += jax.lax.dot_general(
-        h_prev.astype(dtype), dgates.astype(dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # dh_{t-1} = dgates @ wh^T, contracting the 4H axis of both (no
-    # materialized transpose). Through the mask: invalid steps pass dh/dc.
-    dh_rec = jax.lax.dot_general(
-        dgates.astype(dtype), wh_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dh_ref[:] = dh_rec + (1.0 - m) * dh
-    dc_ref[:] = m * (dc_t * f) + (1.0 - m) * dc
+        # dwh += h_prev^T @ dgates (batch axis contracted, no transpose).
+        dwh_acc += jax.lax.dot_general(
+            h_prev.astype(dtype), dgates.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dh_{t-1} = dgates @ wh^T (4H axes contracted). Invalid steps pass
+        # dh/dc straight through.
+        dh_rec = jax.lax.dot_general(
+            dgates.astype(dtype), wh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh_carry = dh_rec + (1.0 - m) * dh
+        dc_carry = m * (dc_t * f) + (1.0 - m) * dc
+    dh_ref[:] = dh_carry
+    dc_ref[:] = dc_carry
+    dwh_ref[:] += dwh_acc
 
 
 def _lstm_bwd_pallas(
@@ -183,31 +216,38 @@ def _lstm_bwd_pallas(
 ):
     T, B, H4 = xw.shape
     H = H4 // 4
-    # Prepend a zero row so block [t-1, t] exists at t=0.
+    U = _pick_unroll(T, 4 * B * (2 * H4 + 4 * H))
+    nblk = T // U
+    # Pad states so every block (incl. cs_next for the last processed
+    # frame) exists: row 0 is the zero initial state, rows 1..T the saved
+    # states, then U-1 slack rows (never read as values that matter).
     zrow = jnp.zeros((1, B, H), jnp.float32)
-    ys_pad = jnp.concatenate([zrow, ys], axis=0)  # [T+1, B, H]
-    cs_pad = jnp.concatenate([zrow, cs], axis=0)
+    slack = jnp.zeros((U - 1, B, H), jnp.float32) if U > 1 else None
+    parts = [zrow, ys] + ([slack] if slack is not None else [])
+    ys_pad = jnp.concatenate(parts, axis=0)  # [T+U, B, H]
+    parts = [zrow, cs] + ([slack] if slack is not None else [])
+    cs_pad = jnp.concatenate(parts, axis=0)
 
-    kernel = functools.partial(_bwd_kernel, dtype=dtype)
-    rev = lambda k: (T - 1 - k, 0, 0)  # noqa: E731
+    kernel = functools.partial(_bwd_kernel, dtype=dtype, unroll=U)
+    rev = lambda k: (nblk - 1 - k, 0, 0)  # noqa: E731 (block units)
 
     dxw, dwh = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),  # xw
-            pl.BlockSpec((1, 1, B), rev, memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec((U, B, H4), rev, memory_space=pltpu.VMEM),  # xw
+            pl.BlockSpec((U, 1, B), rev, memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec((H, H4), lambda k: (0, 0), memory_space=pltpu.VMEM),  # wh
-            # padded row for real time t is t+1; prev state (t-1) sits at
-            # padded row t = T-1-k, current state (t) at padded row T-k
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # ys_prev
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # cs_prev
-            pl.BlockSpec((1, B, H), lambda k: (T - k, 0, 0),
-                         memory_space=pltpu.VMEM),  # cs_cur
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # dys
+            # padded row for real time t is t+1; block b0 = nblk-1-k covers
+            # prev-state rows [b0*U .. b0*U+U-1]; cs_next starts one block on
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),  # ys_prev
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),  # cs_prev
+            pl.BlockSpec((U, B, H), lambda k: (nblk - k, 0, 0),
+                         memory_space=pltpu.VMEM),  # cs_next
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),  # dys
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),  # dxw
+            pl.BlockSpec((U, B, H4), rev, memory_space=pltpu.VMEM),  # dxw
             pl.BlockSpec((H, H4), lambda k: (0, 0), memory_space=pltpu.VMEM),  # dwh
         ],
         out_shape=[
@@ -222,7 +262,7 @@ def _lstm_bwd_pallas(
             # dwh accumulator (4MB f32) + resident wh + streamed blocks
             # exceed the default 16MB scoped budget at big buckets; v5e has
             # far more physical VMEM.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xw, mask, wh, ys_pad, cs_pad, cs_pad, dys)

@@ -102,6 +102,10 @@ class TrainConfig:
     # it on TPU backends when the store fits device_cache_bytes.
     device_cache: str = "auto"  # auto | on | off
     device_cache_bytes: int = 4 * 2**30
+    # Capture a jax.profiler trace for steps [profile_start, profile_stop)
+    # into <snapshot_dir>/profile (view with tensorboard-plugin-profile).
+    profile_start: int = 0
+    profile_stop: int = 0
 
     def model_config(self, num_classes: int) -> ModelConfig:
         stages = (
@@ -151,6 +155,23 @@ PRESETS = {
     ),
     # Full-scale synthetic / IAM-shaped run on TPU.
     "full": dict(),
+    # BASELINE.json config #2/#3: real handwriting (IAM / MADCAT). MADCAT's
+    # large alphabet + wide RTL lines want the wider ladder + label budget.
+    "handwriting": dict(
+        bucket_widths=(256, 384, 512, 768, 1024, 1536, 2048),
+        max_label_len=256,
+        dropout=0.2,
+        epochs=120,
+        plateau_patience=4,
+    ),
+    # BASELINE.json config #4: printed multilingual (e.g. Farsi) — cleaner
+    # glyphs converge faster; decode with beam+LM via infer --decoder beam.
+    "printed": dict(
+        bucket_widths=(128, 256, 384, 512, 768, 1024),
+        dropout=0.1,
+        lr=2e-3,
+        epochs=60,
+    ),
 }
 
 
@@ -495,11 +516,22 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     # the no-max_steps case); the epoch loop just keeps cycling data.
     end_epoch = cfg.epochs if not cfg.max_steps else 10**9
     cur_epoch = start_epoch
+    profiling = False
     for epoch in range(start_epoch, end_epoch):
         if stop:
             break
         cur_epoch = epoch
         for batch in train_pipe.device_epoch(epoch, sharding=data_sharding):
+            if cfg.profile_stop > 0:
+                if step == cfg.profile_start and not profiling:
+                    jax.profiler.start_trace(
+                        os.path.join(cfg.snapshot_dir, "profile")
+                    )
+                    profiling = True
+                elif step >= cfg.profile_stop and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log(f"profile trace written to {cfg.snapshot_dir}/profile")
             lr = jnp.asarray(plateau.lr, jnp.float32)
             weights = jnp.asarray(batch.valid, jnp.float32)
             state, m = train_step(
@@ -560,6 +592,8 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
             cur_epoch = epoch + 1
             snapshot("last", step, cur_epoch, {})
 
+    if profiling:
+        jax.profiler.stop_trace()
     # Final snapshot records the REAL epoch so resume re-enters the loop
     # where training actually stopped (mid-epoch stops resume same-epoch).
     snapshot("last", step, cur_epoch, {"final": True})
