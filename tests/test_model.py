@@ -231,3 +231,50 @@ class TestCnnLstmOcr:
         for _ in range(3):
             fwd(jnp.zeros((2, 32, 64), jnp.uint8), jnp.array([64, 32], jnp.int32))
         assert n_traces == 1
+
+
+class TestAugment:
+    def test_augment_changes_train_not_eval(self):
+        from vistaocr_tpu.models import CnnLstmOcr, ModelConfig
+        from vistaocr_tpu.models.cnn import ConvStageSpec
+        import jax, numpy as np
+        import jax.numpy as jnp
+
+        cfg = ModelConfig(
+            num_classes=5,
+            stages=(ConvStageSpec(8, 1, (2, 2)), ConvStageSpec(8, 1, (2, 2)),
+                    ConvStageSpec(8, 1, (2, 1))),
+            bridge_dim=16, lstm_hidden=16, lstm_layers=1,
+            dropout=0.0, augment=1.0, lstm_impl="scan",
+        )
+        model = CnnLstmOcr(cfg)
+        variables = model.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.integers(0, 256, (2, 32, 64), np.uint8))
+        widths = jnp.array([64, 48], jnp.int32)
+
+        (lp_a, _), _ = model.apply(variables, images, widths, train=True,
+                                   mutable=["batch_stats"],
+                                   rngs={"dropout": jax.random.PRNGKey(1)})
+        (lp_b, _), _ = model.apply(variables, images, widths, train=True,
+                                   mutable=["batch_stats"],
+                                   rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(lp_a), np.asarray(lp_b))
+        # eval ignores augment entirely: deterministic
+        lp_e1, _ = model.apply(variables, images, widths, train=False)
+        lp_e2, _ = model.apply(variables, images, widths, train=False)
+        np.testing.assert_array_equal(np.asarray(lp_e1), np.asarray(lp_e2))
+
+    def test_augment_preserves_padding_zeros(self):
+        from vistaocr_tpu.ops.preprocess import augment_images, preprocess_images
+        import jax, numpy as np
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.integers(0, 256, (2, 8, 16), np.uint8))
+        widths = jnp.array([10, 16], jnp.int32)
+        x = preprocess_images(images, widths)
+        y = augment_images(x, widths, jax.random.PRNGKey(0), strength=1.0)
+        assert (np.asarray(y[0, :, 10:, 0]) == 0).all()
+        assert not np.allclose(np.asarray(y[0, :, :10, 0]),
+                               np.asarray(x[0, :, :10, 0]))

@@ -57,9 +57,14 @@ def height_stride_of(stages: Sequence[ConvStageSpec]) -> int:
 
 
 class ConvStack(nn.Module):
+    """``skip_first=True`` omits conv0_0 (its output arrives precomputed
+    from the fused input stem, ops/stem_pallas.py) but still applies the
+    matching bn0_0 + relu so the parameter tree and math line up."""
+
     stages: Tuple[ConvStageSpec, ...] = DEFAULT_STAGES
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    skip_first: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -67,15 +72,16 @@ class ConvStack(nn.Module):
         x = x.astype(self.dtype)
         for si, stage in enumerate(self.stages):
             for ci in range(stage.num_convs):
-                x = nn.Conv(
-                    stage.channels,
-                    (3, 3),
-                    padding="SAME",
-                    use_bias=False,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"conv{si}_{ci}",
-                )(x)
+                if not (self.skip_first and si == 0 and ci == 0):
+                    x = nn.Conv(
+                        stage.channels,
+                        (3, 3),
+                        padding="SAME",
+                        use_bias=False,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"conv{si}_{ci}",
+                    )(x)
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,

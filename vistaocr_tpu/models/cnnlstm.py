@@ -48,6 +48,8 @@ class ModelConfig:
     standardize_input: bool = True
     compute_dtype: str = "float32"  # "bfloat16" on TPU
     lstm_impl: str = "auto"  # auto | scan | pallas (see models/blstm.py)
+    stem_impl: str = "auto"  # auto | plain | fused (ops/stem_pallas.py)
+    augment: float = 0.0  # train-time degradation strength (0 = off)
 
     @property
     def width_stride(self) -> int:
@@ -90,10 +92,53 @@ class CnnLstmOcr(nn.Module):
         cfg = self.config
         dtype = cfg.dtype
 
-        x = preprocess_images(
-            images, widths, standardize=cfg.standardize_input, dtype=dtype
+        # Input stem: preprocess + first conv (C_in=1 — useless to the MXU,
+        # so the fused Pallas kernel handles it in one pass on TPU; the
+        # plain XLA composition is the oracle path). Both share the same
+        # kernel parameter, so checkpoints are implementation-independent.
+        c0 = cfg.stages[0].channels
+        stem_kernel = self.param(
+            "stem_kernel",
+            nn.initializers.xavier_uniform(),
+            (3, 3, 1, c0),
+            jnp.float32,
         )
-        x = ConvStack(stages=cfg.stages, dtype=dtype, name="cnn")(x, train=train)
+        stem = cfg.stem_impl
+        if stem == "auto":
+            # The fused Pallas stem currently LOSES to XLA's conv on real
+            # hardware (measured 10.0ms vs 5.6ms at B=512: Mosaic's layout
+            # rules force major-axis channel stacking, and the 9-tap
+            # broadcast churns VMEM relayouts; its backward trips a Mosaic
+            # layout assertion outright). Kept as an experimental path +
+            # interpret-mode oracle tests; auto resolves to plain until
+            # Mosaic supports minor-dim broadcasts here.
+            stem = "plain"
+        if stem == "fused":
+            from ..ops.stem_pallas import fused_stem
+
+            x = fused_stem(
+                images, widths, stem_kernel.astype(dtype),
+                cfg.standardize_input, dtype,
+            )
+        else:
+            xpre = preprocess_images(
+                images, widths, standardize=cfg.standardize_input, dtype=dtype
+            )
+            if train and cfg.augment > 0:
+                from ..ops.preprocess import augment_images
+
+                xpre = augment_images(
+                    xpre, widths, self.make_rng("dropout"),
+                    strength=cfg.augment,
+                )
+            x = jax.lax.conv_general_dilated(
+                xpre, stem_kernel.astype(dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dtype,
+            )
+        x = ConvStack(
+            stages=cfg.stages, dtype=dtype, skip_first=True, name="cnn"
+        )(x, train=train)
 
         # Width-major sequence: [B, H', T, C] -> [B, T, C*H']
         b, hp, t, c = x.shape

@@ -49,3 +49,35 @@ def preprocess_images(
         x = (x - mean) * jax.lax.rsqrt(var + eps)
         x = x * mask  # padding stays exactly 0 after standardization
     return x.astype(dtype)[..., None]
+
+
+def augment_images(
+    x: jax.Array,  # [B, H, W, 1] preprocessed (ink-positive) images
+    widths: jax.Array,  # [B]
+    rng: jax.Array,
+    *,
+    strength: float = 1.0,
+) -> jax.Array:
+    """Train-time on-device degradation (C8's optional augment, run inside
+    the jitted step so it costs one fused elementwise pass):
+
+    - per-image contrast jitter: x * U[1-0.2s, 1+0.2s]
+    - per-image ink-level shift of the inked region: + U[-0.1s, 0.1s]
+    - additive pixel noise: N(0, 0.05s)
+
+    The width mask is re-applied so padding stays exactly 0.
+    """
+    b, h, w, _ = x.shape
+    k1, k2, k3 = jax.random.split(rng, 3)
+    contrast = 1.0 + jax.random.uniform(
+        k1, (b, 1, 1, 1), minval=-0.2, maxval=0.2
+    ) * strength
+    shift = jax.random.uniform(
+        k2, (b, 1, 1, 1), minval=-0.1, maxval=0.1
+    ) * strength
+    noise = jax.random.normal(k3, x.shape) * (0.05 * strength)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), dimension=2)
+    mask = (col < widths[:, None, None]).astype(x.dtype)[..., None]
+    out = (x * contrast.astype(x.dtype) + shift.astype(x.dtype)
+           + noise.astype(x.dtype))
+    return out * mask

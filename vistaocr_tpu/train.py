@@ -72,6 +72,7 @@ class TrainConfig:
     lstm_layers: int = 2
     bridge_dim: int = 512
     dropout: float = 0.1
+    augment: float = 0.0  # train-time on-device degradation strength
     compute_dtype: str = "bfloat16"
     tiny_model: bool = False  # config #1 scale
     # data
@@ -129,6 +130,7 @@ class TrainConfig:
             lstm_hidden=self.lstm_hidden if not self.tiny_model else 64,
             lstm_layers=self.lstm_layers if not self.tiny_model else 1,
             dropout=self.dropout,
+            augment=self.augment,
             compute_dtype=self.compute_dtype,
         )
 
