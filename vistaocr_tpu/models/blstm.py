@@ -114,10 +114,7 @@ class BLSTMStack(nn.Module):
         self, x: jax.Array, mask: jax.Array, *, train: bool
     ) -> jax.Array:
         H = self.hidden
-        if _resolve_impl(self.impl) == "pallas":
-            from ..ops.lstm_pallas import lstm_layer_pallas as layer_fn
-        else:
-            layer_fn = lstm_layer
+        use_pallas = _resolve_impl(self.impl) == "pallas"
 
         def bias_init(key, shape, dtype):
             # forget-gate slice gets +1
@@ -126,26 +123,53 @@ class BLSTMStack(nn.Module):
 
         for layer in range(self.layers):
             d_in = x.shape[-1]
-            outs = []
-            for direction, reverse in (("fwd", False), ("bwd", True)):
+            params = {}
+            for direction in ("fwd", "bwd"):
                 prefix = f"l{layer}_{direction}"
-                wx = self.param(
-                    f"{prefix}_wx",
-                    nn.initializers.xavier_uniform(),
-                    (d_in, 4 * H),
-                    self.param_dtype,
+                params[direction] = (
+                    self.param(
+                        f"{prefix}_wx",
+                        nn.initializers.xavier_uniform(),
+                        (d_in, 4 * H),
+                        self.param_dtype,
+                    ),
+                    self.param(
+                        f"{prefix}_wh",
+                        nn.initializers.orthogonal(),
+                        (H, 4 * H),
+                        self.param_dtype,
+                    ),
+                    self.param(f"{prefix}_b", bias_init, (4 * H,),
+                               self.param_dtype),
                 )
-                wh = self.param(
-                    f"{prefix}_wh",
-                    nn.initializers.orthogonal(),
-                    (H, 4 * H),
-                    self.param_dtype,
+            if use_pallas:
+                # Two single-direction fused kernels. (The direction-stacked
+                # variant — ops/lstm_pallas.bilstm_layer_pallas, one grid for
+                # both directions — measured SLOWER on chip: 3427 vs 4172
+                # train lines/s/chip; Mosaic lowers the dir-batched
+                # dot_general with costly relayouts. Kept + tested as an
+                # experiment.)
+                from ..ops.lstm_pallas import lstm_layer_pallas
+
+                x = jnp.concatenate(
+                    [
+                        lstm_layer_pallas(x, mask, *params["fwd"],
+                                          reverse=False, dtype=self.dtype),
+                        lstm_layer_pallas(x, mask, *params["bwd"],
+                                          reverse=True, dtype=self.dtype),
+                    ],
+                    axis=-1,
                 )
-                b = self.param(f"{prefix}_b", bias_init, (4 * H,), self.param_dtype)
-                outs.append(
-                    layer_fn(x, mask, wx, wh, b, reverse=reverse, dtype=self.dtype)
-                )
-            x = jnp.concatenate(outs, axis=-1)  # [B, T, 2H]
+            else:
+                x = jnp.concatenate(
+                    [
+                        lstm_layer(x, mask, *params["fwd"], reverse=False,
+                                   dtype=self.dtype),
+                        lstm_layer(x, mask, *params["bwd"], reverse=True,
+                                   dtype=self.dtype),
+                    ],
+                    axis=-1,
+                )  # [B, T, 2H]
             if self.dropout > 0 and layer < self.layers - 1:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

@@ -1,0 +1,125 @@
+"""HTTP front for the batched OCR service (config #5's network face).
+
+Stdlib-only (no web framework in the environment): a ThreadingHTTPServer
+whose handler threads block on OcrService futures, so concurrent requests
+naturally coalesce into device batches via the width-routed queues.
+
+API:
+    GET  /healthz          -> {"ok": true}
+    GET  /stats            -> service counters
+    POST /ocr              -> body: PNG/JPEG bytes, or JSON
+                              {"image_b64": "..."}; response:
+                              {"text", "uxxxx", "latency_ms", "bucket_width"}
+
+Usage:
+    python -m vistaocr_tpu.serve.http_server --snapshot <dir>/best \
+        --port 8400 [--decoder beam --lm <arpa>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+from PIL import Image
+
+from ..decode import BeamConfig
+from .service import OcrService, ServiceConfig
+
+
+def make_handler(service: OcrService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, dict(service.stats))
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/ocr":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/json"):
+                    obj = json.loads(raw)
+                    raw = base64.b64decode(obj["image_b64"])
+                img = np.asarray(Image.open(io.BytesIO(raw)))
+            except Exception as e:
+                self._send(400, {"error": f"bad image payload: {e}"})
+                return
+            try:
+                result = service.submit(img).result(timeout=60)
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            self._send(200, {
+                "text": result.text,
+                "uxxxx": result.uxxxx,
+                "latency_ms": round(result.latency_ms, 2),
+                "bucket_width": result.bucket_width,
+            })
+
+    return Handler
+
+
+def serve(snapshot: str, port: int = 8400, host: str = "127.0.0.1",
+          config: ServiceConfig = None, log=print):
+    service = OcrService(snapshot, config or ServiceConfig())
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    log(f"serving OCR on http://{host}:{port} (snapshot: {snapshot})")
+    try:
+        httpd.serve_forever()
+    finally:
+        service.close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--snapshot", required=True)
+    p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--decoder", choices=("greedy", "beam"), default="greedy")
+    p.add_argument("--lm", default=None)
+    p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    cfg = ServiceConfig(
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        decoder=args.decoder,
+        beam=BeamConfig(lm_alpha=args.lm_alpha if args.lm else 0.0),
+        lm_path=args.lm,
+        warmup=not args.no_warmup,
+    )
+    serve(args.snapshot, args.port, args.host, cfg)
+
+
+if __name__ == "__main__":
+    main()
