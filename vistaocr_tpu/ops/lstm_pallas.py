@@ -43,8 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
-def _fwd_kernel(xw_ref, mask_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref,
-                *, dtype, unroll):
+def _fwd_kernel(xw_ref, mask_ref, wh_ref, *out_and_scratch, dtype, unroll,
+                save_cell):
+    if save_cell:
+        ys_ref, cs_ref, h_ref, c_ref = out_and_scratch
+    else:
+        ys_ref, h_ref, c_ref = out_and_scratch
+        cs_ref = None
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -72,7 +77,8 @@ def _fwd_kernel(xw_ref, mask_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref,
         h = m * h_new + (1.0 - m) * h
         c = m * c_new + (1.0 - m) * c
         ys_ref[u] = h
-        cs_ref[u] = c
+        if save_cell:
+            cs_ref[u] = c
     h_ref[:] = h
     c_ref[:] = c
 
@@ -96,12 +102,18 @@ def _lstm_fwd_pallas(
     *,
     dtype,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    save_cell: bool = True,
+) -> Tuple[jax.Array, "jax.Array | None"]:
+    """``save_cell=False`` (inference path) skips writing the cell-state
+    residual to HBM — it is only needed by the backward kernel."""
     T, B, H4 = xw.shape
     H = H4 // 4
     U = _pick_unroll(T, 4 * B * (H4 + 2 * H))
-    kernel = functools.partial(_fwd_kernel, dtype=dtype, unroll=U)
-    ys, cs = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, dtype=dtype, unroll=U,
+                               save_cell=save_cell)
+    ts_spec = pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
         kernel,
         grid=(T // U,),
         in_specs=[
@@ -109,14 +121,10 @@ def _lstm_fwd_pallas(
             pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        ],
+        out_specs=[ts_spec, ts_spec] if save_cell else [ts_spec],
+        out_shape=(
+            [jax.ShapeDtypeStruct((T, B, H), jnp.float32)] * (2 if save_cell else 1)
+        ),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
@@ -126,7 +134,9 @@ def _lstm_fwd_pallas(
         ),
         interpret=interpret,
     )(xw, mask, wh)
-    return ys, cs
+    if save_cell:
+        return out[0], out[1]
+    return out[0], None
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +290,8 @@ def lstm_recurrence_pallas(xw, mask, wh, dtype=jnp.float32, interpret=False):
     Returns ys: [T, B, H] f32 hidden states.
     """
     ys, _ = _lstm_fwd_pallas(
-        xw, mask, wh.astype(dtype), dtype=dtype, interpret=interpret
+        xw, mask, wh.astype(dtype), dtype=dtype, interpret=interpret,
+        save_cell=False,  # primal = inference path; bwd uses _fwd_rule
     )
     return ys
 
