@@ -170,3 +170,62 @@ class TestDataParallel:
         # magnitude, so these tolerances still bite.
         for a, b in zip(flat_s, flat_d):
             np.testing.assert_allclose(a, b, atol=3e-3, rtol=2e-2)
+
+
+class TestTensorParallel:
+    def test_tp_matches_replicated(self, synth_dir, eight_devices):
+        """DPxTP (4x2) mesh with column-parallel LSTM/bridge shards must
+        produce the same loss and updated params as pure DP."""
+        from vistaocr_tpu.models import CnnLstmOcr
+        from vistaocr_tpu.parallel import param_shardings
+
+        ds = ShardedLineDataset(synth_dir, "train")
+        alpha = Alphabet.build(ds.transcripts())
+        cfg = _smoke_config(synth_dir, "")
+        contract = cfg.contract()
+        model_cfg = cfg.model_config(alpha.num_classes)
+        model = CnnLstmOcr(model_cfg)
+        variables = model.init_params(jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg)
+        train_step = make_train_step(model, tx, cfg.label_average)
+
+        pipe = BatchPipeline(
+            ds, alpha, contract, batch_pixels=2**17, batch_multiple=8,
+            drop_remainder=True, shuffle=False,
+        )
+        batch = next(iter(pipe.epoch(0)))
+
+        results = {}
+        for name, mesh_cfg in (("dp8", MeshConfig(data=8, model=1)),
+                               ("dp4tp2", MeshConfig(data=4, model=2))):
+            mesh = make_mesh(mesh_cfg, devices=eight_devices)
+            state = TrainState(
+                params=jax.device_get(variables["params"]),
+                batch_stats=jax.device_get(variables["batch_stats"]),
+                opt_state=tx.init(variables["params"]),
+                step=jnp.asarray(0, jnp.int32),
+            )
+            sharding = (
+                param_shardings(state, mesh)
+                if mesh.shape["model"] > 1 else replicated(mesh)
+            )
+            state = jax.device_put(state, sharding)
+            sh = shard_batch_arrays(mesh)
+            args = [jax.device_put(a, sh["widths"]) if a.ndim == 1
+                    else jax.device_put(a, sh["images"])
+                    for a in (batch.images, batch.widths, batch.labels,
+                              batch.label_lengths)]
+            w = jax.device_put(jnp.asarray(batch.valid, jnp.float32),
+                               sh["widths"])
+            new_state, m = train_step(
+                state, *args, w, jnp.asarray(1e-3, jnp.float32),
+                jax.random.PRNGKey(5),
+            )
+            results[name] = (float(m["loss"]),
+                             jax.device_get(new_state.params))
+
+        assert results["dp8"][0] == pytest.approx(results["dp4tp2"][0],
+                                                  rel=1e-4)
+        for a, b in zip(jax.tree.leaves(results["dp8"][1]),
+                        jax.tree.leaves(results["dp4tp2"][1])):
+            np.testing.assert_allclose(a, b, atol=3e-3, rtol=2e-2)

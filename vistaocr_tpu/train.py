@@ -549,6 +549,22 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
             step += 1
             window_lines += batch.size
             if step % cfg.log_interval == 0:
+                # Fail fast on divergence (SURVEY.md §5: fail-fast +
+                # deterministic resume is the failure-handling model).
+                # Note: the NaN-safe CTC clamps unreachable paths to -1e30,
+                # so NaN'd parameters surface as a ~1e30 loss rather than
+                # NaN — guard on magnitude as well as finiteness.
+                loss_now = float(m["loss"])
+                gnorm_now = float(m["gnorm"])
+                if (not np.isfinite(loss_now) or abs(loss_now) > 1e20
+                        or not np.isfinite(gnorm_now)):
+                    snapshot("diverged", step, epoch, {"loss": loss_now})
+                    raise FloatingPointError(
+                        f"divergence at step {step}: loss={loss_now}, "
+                        f"gnorm={gnorm_now}; state saved to "
+                        f"{cfg.snapshot_dir}/diverged (resume from an "
+                        f"earlier snapshot with a lower lr)"
+                    )
                 dt = max(time.time() - window_t0, 1e-9)
                 lps = window_lines / dt
                 summary_lines_per_sec = lps
