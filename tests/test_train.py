@@ -229,3 +229,19 @@ class TestTensorParallel:
         for a, b in zip(jax.tree.leaves(results["dp8"][1]),
                         jax.tree.leaves(results["dp4tp2"][1])):
             np.testing.assert_allclose(a, b, atol=3e-3, rtol=2e-2)
+
+
+class TestCli:
+    def test_boolean_flags_can_be_negated(self):
+        from vistaocr_tpu.train import build_argparser, config_from_args
+
+        p = build_argparser()
+        # preset enables tiny_model; the CLI must be able to switch it off
+        args = p.parse_args(["--preset", "synth-tiny", "--no-tiny-model"])
+        cfg = config_from_args(args)
+        assert cfg.tiny_model is False
+        args = p.parse_args(["--preset", "synth-tiny"])
+        cfg = config_from_args(args)
+        assert cfg.tiny_model is True  # preset value survives when unset
+        args = p.parse_args(["--resume"])
+        assert config_from_args(args).resume is True

@@ -34,6 +34,13 @@ _OPT = "opt_state.msgpack"
 _META = "meta.json"
 
 
+def _atomic_write(dst: str, payload: bytes):
+    tmp = dst + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, dst)
+
+
 def save_snapshot(
     path: str,
     *,
@@ -47,11 +54,16 @@ def save_snapshot(
 ) -> str:
     os.makedirs(path, exist_ok=True)
     variables = jax.device_get(variables)
-    with open(os.path.join(path, _WEIGHTS), "wb") as f:
-        f.write(serialization.to_bytes(variables))
+    # Every file goes through tmp+rename, meta.json LAST: a snapshot is
+    # valid iff meta.json exists, so a crash mid-save can never leave a
+    # meta.json pointing at truncated weights (the resume/fail-fast story
+    # depends on last/ always being loadable).
+    _atomic_write(os.path.join(path, _WEIGHTS), serialization.to_bytes(variables))
     if opt_state is not None:
-        with open(os.path.join(path, _OPT), "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(opt_state)))
+        _atomic_write(
+            os.path.join(path, _OPT),
+            serialization.to_bytes(jax.device_get(opt_state)),
+        )
     meta = {
         "version": 1,
         "step": int(step),

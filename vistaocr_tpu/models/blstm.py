@@ -14,7 +14,7 @@ different way (SURVEY.md §7 hard-part #3):
   backward direction the sequence is flipped, so padding is at the front
   and the zero initial carry rides through it until real pixels begin —
   this yields exactly the same states as packed sequences in torch
-  (verified against torch.nn.LSTM in tests/test_blstm.py);
+  (verified against torch.nn.LSTM in tests/test_model.py);
 - matmuls run in the compute dtype (bf16 on TPU) with f32 accumulation;
   the (h, c) carry stays f32 for recurrence stability.
 

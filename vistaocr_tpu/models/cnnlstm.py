@@ -114,6 +114,15 @@ class CnnLstmOcr(nn.Module):
             # Mosaic supports minor-dim broadcasts here.
             stem = "plain"
         if stem == "fused":
+            if train and cfg.augment > 0:
+                # The fused stem folds preprocess+conv into one kernel and
+                # has no augment hook; silently skipping augment would make
+                # the two documented-as-interchangeable stems train
+                # differently.
+                raise ValueError(
+                    "stem_impl='fused' does not support augment > 0; "
+                    "use stem_impl='plain' (or 'auto') for augmented training"
+                )
             from ..ops.stem_pallas import fused_stem
 
             x = fused_stem(

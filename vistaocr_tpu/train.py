@@ -640,7 +640,11 @@ def build_argparser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(TrainConfig):
         name = "--" + f.name.replace("_", "-")
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(name, action="store_true", default=None)
+            # BooleanOptionalAction (--flag / --no-flag) so preset-enabled
+            # booleans can be switched OFF from the CLI too.
+            p.add_argument(
+                name, action=argparse.BooleanOptionalAction, default=None
+            )
         elif f.name == "bucket_widths":
             p.add_argument(name, type=str, default=None,
                            help="comma-separated widths")
