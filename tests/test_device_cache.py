@@ -61,3 +61,91 @@ class TestDeviceCache:
         pipe = BatchPipeline(ds, alpha, contract, batch_pixels=32 * 256 * 8)
         with pytest.raises(MemoryError):
             DeviceCache(pipe, max_bytes=1024)
+
+
+class TestDeviceCacheSharding:
+    """The cached path must keep DP alive: gathered batches land
+    batch-sharded on the 'data' mesh axis (not replicated), and a train
+    step over them matches the streaming-DP step exactly."""
+
+    def test_gather_outputs_are_data_sharded(self, setup, eight_devices):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vistaocr_tpu.parallel import MeshConfig, make_mesh, replicated, shard_batch_arrays
+
+        ds, alpha, contract = setup
+        mesh = make_mesh(MeshConfig(data=8), devices=eight_devices)
+        pipe = BatchPipeline(ds, alpha, contract, batch_pixels=32 * 256 * 8,
+                             batch_multiple=8, drop_remainder=True, seed=5)
+        cache = DeviceCache(pipe, sharding=replicated(mesh))
+        sh = shard_batch_arrays(mesh)
+        want = NamedSharding(mesh, P("data"))
+        n = 0
+        for b in cache.device_epoch(0, sharding=sh):
+            assert b.images.sharding.is_equivalent_to(want, b.images.ndim)
+            assert b.labels.sharding.is_equivalent_to(want, b.labels.ndim)
+            # every device holds only its slice, not the full batch
+            shard_rows = {s.data.shape[0] for s in b.images.addressable_shards}
+            assert shard_rows == {b.images.shape[0] // 8}
+            n += 1
+        assert n > 0
+
+    def test_cached_dp_step_matches_streaming_dp(self, setup, eight_devices):
+        import jax.numpy as jnp
+        import optax
+        from vistaocr_tpu.models import CnnLstmOcr, ModelConfig
+        from vistaocr_tpu.models.cnn import ConvStageSpec
+        from vistaocr_tpu.parallel import MeshConfig, make_mesh, replicated, shard_batch_arrays
+        from vistaocr_tpu.train import TrainState, make_train_step
+
+        ds, alpha, contract = setup
+        mesh = make_mesh(MeshConfig(data=8), devices=eight_devices)
+        cfg = ModelConfig(
+            num_classes=alpha.num_classes,
+            stages=(ConvStageSpec(8, 1, (2, 2)), ConvStageSpec(8, 1, (2, 2))),
+            bridge_dim=32, lstm_hidden=32, lstm_layers=1, dropout=0.0,
+        )
+        model = CnnLstmOcr(cfg)
+        # Host-side copies: the train step donates its state, and device_put
+        # aliases (doesn't copy) arrays whose sharding already matches — so
+        # each run must restage from host memory.
+        variables = jax.tree.map(np.asarray, model.init_params(jax.random.PRNGKey(0)))
+        tx = optax.scale_by_adam()
+
+        def fresh_state():
+            return jax.device_put(
+                TrainState(params=variables["params"],
+                           batch_stats=variables["batch_stats"],
+                           opt_state=tx.init(variables["params"]),
+                           step=jnp.asarray(0, jnp.int32)),
+                replicated(mesh),
+            )
+
+        step = make_train_step(model, tx, label_average=False, ctc_impl="scan")
+        sh = shard_batch_arrays(mesh)
+        contract2 = ShapeContract(bucket_widths=(128, 256, 384, 512),
+                                  width_stride=cfg.width_stride)
+
+        def run(pipe_factory):
+            state = fresh_state()
+            losses = []
+            pipe = pipe_factory()
+            for b in pipe.device_epoch(0, sharding=sh):
+                state, m = step(
+                    state, b.images, b.widths, b.labels, b.label_lengths,
+                    jnp.asarray(b.valid, jnp.float32),
+                    jnp.asarray(1e-3, jnp.float32), jax.random.PRNGKey(7),
+                )
+                losses.append(float(m["loss"]))
+            return losses
+
+        def streaming():
+            return BatchPipeline(ds, alpha, contract2,
+                                 batch_pixels=32 * 256 * 8, batch_multiple=8,
+                                 drop_remainder=True, seed=5)
+
+        def cached():
+            return DeviceCache(streaming(), sharding=replicated(mesh))
+
+        ls, lc = run(streaming), run(cached)
+        assert len(ls) == len(lc) > 0
+        np.testing.assert_allclose(ls, lc, rtol=1e-5)

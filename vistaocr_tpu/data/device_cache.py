@@ -34,6 +34,30 @@ def _gather(imgs, w, lab, ll, idx):
 _gather_jit = jax.jit(_gather)
 
 
+_FIELDS = ("images", "widths", "labels", "label_lengths")
+
+
+def _gather_for(sharding):
+    """Jitted gather whose outputs land batch-sharded on the data mesh.
+
+    The resident arrays are replicated across the mesh, so constraining the
+    gather's OUTPUT to NamedSharding(P('data')) makes each device
+    materialize only its local batch slice — this is what keeps DP scaling
+    alive on the cached path (the streaming path gets the same property
+    from device_put in the prefetch thread)."""
+    if sharding is None:
+        return _gather_jit
+    key = tuple(sharding[f] for f in _FIELDS)
+    fn = _gather_cache.get(key)
+    if fn is None:
+        fn = jax.jit(_gather, out_shardings=key)
+        _gather_cache[key] = fn
+    return fn
+
+
+_gather_cache: dict = {}
+
+
 class DeviceCache:
     """Wraps a BatchPipeline; same epoch()/device_epoch() iteration contract,
     batches gathered on device from resident bucket arrays."""
@@ -80,8 +104,11 @@ class DeviceCache:
             b: np.asarray(m, np.int64) for b, m in enumerate(pipe.bucket_members) if m
         }
 
-    def epoch(self, epoch: Optional[int] = None) -> Iterator[Batch]:
+    def epoch(
+        self, epoch: Optional[int] = None, *, sharding=None
+    ) -> Iterator[Batch]:
         pipe = self.pipe
+        gather = _gather_for(sharding)
         if epoch is None:
             epoch = pipe._epoch
             pipe._epoch += 1
@@ -107,7 +134,7 @@ class DeviceCache:
             if k < bsz:  # pad tail by cyclic repeat (eval only), flag via valid
                 slots = np.resize(slots, bsz)
             idx = jnp.asarray(slots.astype(np.int32))
-            imgs, w, lab, ll = _gather_jit(*self.resident[b], idx)
+            imgs, w, lab, ll = gather(*self.resident[b], idx)
             valid = np.arange(bsz) < k
             yield Batch(
                 images=imgs,
@@ -119,9 +146,10 @@ class DeviceCache:
                 indices=self.slot_to_index[b][slots],
             )
 
-    # device_epoch == epoch here (batches are already device-resident)
+    # device_epoch == epoch here (batches are already device-resident);
+    # the sharding applies to the gather OUTPUT (batch-sharded on 'data').
     def device_epoch(self, epoch=None, *, sharding=None, prefetch=0):
-        return self.epoch(epoch)
+        return self.epoch(epoch, sharding=sharding)
 
     def epoch_plan(self, epoch: int):
         """Index-matrix form of one epoch for the epoch-fused trainer
