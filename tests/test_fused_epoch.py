@@ -83,3 +83,33 @@ class TestFusedEpoch:
         for a, b in zip(jax.tree.leaves(jax.device_get(s_fused.params)),
                         jax.tree.leaves(jax.device_get(s_step.params))):
             np.testing.assert_allclose(a, b, atol=3e-4, rtol=2e-2)
+
+
+class TestFusedFit:
+    """fit() with fused_epochs='on' is the product path benched on TPU —
+    it must train to ~0 CER on the config-#1 smoke corpus with working
+    validation cadence, max_steps accounting, and snapshots."""
+
+    def test_fit_fused_smoke(self, tmp_path):
+        d = build_synthetic_dataset(
+            str(tmp_path / "data"), num_train=96, num_val=24, height=32,
+            max_width=384,
+            config=SynthConfig(language="charset", charset="abcdeo ",
+                               min_words=1, max_words=3),
+            seed=11,
+        )
+        from vistaocr_tpu.train import PRESETS, fit
+
+        base = dict(PRESETS["synth-tiny"])
+        base.update(
+            data_dir=d, snapshot_dir=str(tmp_path / "snap"),
+            epochs=200, max_steps=300, val_interval_steps=75,
+            log_interval=25, batch_pixels=2**17, seed=1,
+            device_cache="on", fused_epochs="on",
+        )
+        summary = fit(TrainConfig(**base), log=lambda *a: None)
+        assert summary["steps"] == 300  # max_steps exact despite segments
+        assert summary["last_val_cer"] < 0.02, summary
+        # validation ran at the configured cadence and snapshotted
+        import os
+        assert os.path.exists(str(tmp_path / "snap" / "best" / "meta.json"))

@@ -245,3 +245,28 @@ class TestCli:
         assert cfg.tiny_model is True  # preset value survives when unset
         args = p.parse_args(["--resume"])
         assert config_from_args(args).resume is True
+
+
+class TestDistributedInit:
+    def test_single_process_initialize(self):
+        """maybe_init_distributed with a 1-process coordinator must come up
+        and leave mesh construction working (the multi-host entry path)."""
+        import subprocess, sys
+
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');\n"
+            "from vistaocr_tpu.train import maybe_init_distributed\n"
+            "assert not maybe_init_distributed(None)\n"
+            "assert maybe_init_distributed('localhost:12391', 1, 0)\n"
+            "import jax\n"
+            "assert jax.process_count() == 1\n"
+            "from vistaocr_tpu.parallel import MeshConfig, make_mesh\n"
+            "m = make_mesh(MeshConfig())\n"
+            "print('mesh', m.shape)\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "mesh" in out.stdout

@@ -103,6 +103,12 @@ class TrainConfig:
     # it on TPU backends when the store fits device_cache_bytes.
     device_cache: str = "auto"  # auto | on | off
     device_cache_bytes: int = 4 * 2**30
+    # Epoch-fused trainer (make_train_epoch): runs segments of steps as one
+    # lax.scan over the device-resident data — the headline-perf path.
+    # Requires the device cache; "auto" follows it. Batch order within a
+    # segment shares one bucket (coarser interleaving than per-step
+    # shuffle); parity runs can force "off".
+    fused_epochs: str = "auto"  # auto | on | off
     # Capture a jax.profiler trace for steps [profile_start, profile_stop)
     # into <snapshot_dir>/profile (view with tensorboard-plugin-profile).
     profile_start: int = 0
@@ -243,7 +249,7 @@ def make_train_step(model: CnnLstmOcr, tx, label_average: bool,
 
 
 def make_train_epoch(model: CnnLstmOcr, tx, label_average: bool,
-                     ctc_impl: str = "auto"):
+                     ctc_impl: str = "auto", batch_shardings=None):
     """Epoch-fused trainer: one jitted program runs a whole bucket's worth
     of steps as a lax.scan over device-resident data, gathering each batch
     by index on device. Removes per-step host dispatch entirely — on a
@@ -254,7 +260,11 @@ def make_train_epoch(model: CnnLstmOcr, tx, label_average: bool,
     Ordering note: batches inside one call share a bucket (static shapes),
     so inter-bucket interleaving happens at the granularity of these calls
     — coarser than the reference's per-batch shuffle; CER parity runs can
-    use the per-step path (fit(..., fused_epochs=False))."""
+    use the per-step path (fit(..., fused_epochs=False)).
+
+    ``batch_shardings`` (dict from parallel.shard_batch_arrays): when set,
+    each scan-gathered batch is constrained to its 'data'-axis sharding so
+    DP stays sharded even though the resident arrays are replicated."""
 
     def train_epoch(state, images_all, widths_all, labels_all, ll_all,
                     idx, weights, lr, rng):
@@ -264,6 +274,15 @@ def make_train_epoch(model: CnnLstmOcr, tx, label_average: bool,
             widths = widths_all[idx_b]
             labels = labels_all[idx_b]
             lls = ll_all[idx_b]
+            if batch_shardings is not None:
+                images = jax.lax.with_sharding_constraint(
+                    images, batch_shardings["images"])
+                widths = jax.lax.with_sharding_constraint(
+                    widths, batch_shardings["widths"])
+                labels = jax.lax.with_sharding_constraint(
+                    labels, batch_shardings["labels"])
+                lls = jax.lax.with_sharding_constraint(
+                    lls, batch_shardings["label_lengths"])
             dropout_rng = jax.random.fold_in(rng, state.step)
 
             def loss_fn(params):
@@ -291,10 +310,14 @@ def make_train_epoch(model: CnnLstmOcr, tx, label_average: bool,
                 params=new_params, batch_stats=new_bs, opt_state=new_opt,
                 step=state.step + 1,
             )
-            return new_state, loss
+            return new_state, (loss, optax.global_norm(grads))
 
-        state, losses = jax.lax.scan(body, state, (idx, weights))
-        return state, {"loss": jnp.mean(losses), "last_loss": losses[-1]}
+        state, (losses, gnorms) = jax.lax.scan(body, state, (idx, weights))
+        return state, {
+            "loss": jnp.mean(losses),
+            "last_loss": losses[-1],
+            "gnorm": gnorms[-1],
+        }
 
     return jax.jit(train_epoch, donate_argnums=(0,))
 
@@ -471,6 +494,27 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         except MemoryError as e:
             log(f"device cache disabled ({e}); streaming")
 
+    # Epoch-fused trainer (the headline-perf path): needs the device cache's
+    # epoch_plan (resident arrays + index matrices). "auto" rides the cache.
+    use_fused = cfg.fused_epochs == "on" or (
+        cfg.fused_epochs == "auto" and hasattr(train_pipe, "epoch_plan")
+    )
+    if cfg.fused_epochs == "on" and not hasattr(train_pipe, "epoch_plan"):
+        raise ValueError(
+            "fused_epochs='on' requires the device cache (device_cache='on' "
+            "with a sufficient device_cache_bytes cap)"
+        )
+    train_epoch = (
+        make_train_epoch(
+            model, tx, cfg.label_average, cfg.ctc_impl,
+            batch_shardings=data_sharding,
+        )
+        if use_fused
+        else None
+    )
+    if use_fused:
+        log("fused epochs: training runs as per-bucket lax.scan segments")
+
     plateau = PlateauController(
         cfg.lr, cfg.plateau_patience, cfg.plateau_decay, cfg.min_lr
     )
@@ -513,99 +557,154 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     last_val = (float("nan"), float("nan"))
     stop = False
     summary_lines_per_sec = 0.0
+    profiling = False
+
+    def profile_tick():
+        nonlocal profiling
+        if cfg.profile_stop <= 0:
+            return
+        if step >= cfg.profile_start and step < cfg.profile_stop and not profiling:
+            jax.profiler.start_trace(os.path.join(cfg.snapshot_dir, "profile"))
+            profiling = True
+        elif step >= cfg.profile_stop and profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            log(f"profile trace written to {cfg.snapshot_dir}/profile")
+
+    def check_divergence(m, epoch: int):
+        # Fail fast on divergence (SURVEY.md §5: fail-fast + deterministic
+        # resume is the failure-handling model). Note: the NaN-safe CTC
+        # clamps unreachable paths to -1e30, so NaN'd parameters surface as
+        # a ~1e30 loss rather than NaN — guard on magnitude as well as
+        # finiteness.
+        loss_now = float(m["loss"])
+        gnorm_now = float(m["gnorm"])
+        if (not np.isfinite(loss_now) or abs(loss_now) > 1e20
+                or not np.isfinite(gnorm_now)):
+            snapshot("diverged", step, epoch, {"loss": loss_now})
+            raise FloatingPointError(
+                f"divergence at step {step}: loss={loss_now}, "
+                f"gnorm={gnorm_now}; state saved to "
+                f"{cfg.snapshot_dir}/diverged (resume from an "
+                f"earlier snapshot with a lower lr)"
+            )
+        return loss_now, gnorm_now
+
+    def log_window(m, epoch: int, loss_now: float, gnorm_now: float):
+        nonlocal window_lines, window_t0, summary_lines_per_sec
+        dt = max(time.time() - window_t0, 1e-9)
+        lps = window_lines / dt
+        summary_lines_per_sec = lps
+        rec = {
+            "step": step,
+            "epoch": epoch,
+            "loss": round(loss_now, 4),
+            "gnorm": round(gnorm_now, 3),
+            "lr": plateau.lr,
+            "lines_per_sec": round(lps, 1),
+        }
+        log(f"step {step}: {rec}")
+        emit(rec)
+        window_lines, window_t0 = 0, time.time()
+
+    def run_validation(epoch: int):
+        nonlocal best_cer, last_val
+        c, w, v_lps = evaluate(
+            eval_step, state.params, state.batch_stats, val_pipe,
+            alphabet, sharding=data_sharding,
+        )
+        last_val = (c, w)
+        is_best = plateau.update(c)
+        rec = {
+            "step": step,
+            "val_cer": round(c, 5),
+            "val_wer": round(w, 5),
+            "val_lines_per_sec": round(v_lps, 1),
+            "lr": plateau.lr,
+            "best": is_best,
+        }
+        log(f"val @ {step}: {rec}")
+        emit(rec)
+        snapshot("last", step, epoch, {"val_cer": c, "val_wer": w})
+        if is_best:
+            best_cer = c
+            promote(
+                os.path.join(cfg.snapshot_dir, "last"),
+                os.path.join(cfg.snapshot_dir, "best"),
+            )
 
     # max_steps, when set, is the binding limit (epochs then only bounds
     # the no-max_steps case); the epoch loop just keeps cycling data.
     end_epoch = cfg.epochs if not cfg.max_steps else 10**9
     cur_epoch = start_epoch
-    profiling = False
     for epoch in range(start_epoch, end_epoch):
         if stop:
             break
         cur_epoch = epoch
-        for batch in train_pipe.device_epoch(epoch, sharding=data_sharding):
-            if cfg.profile_stop > 0:
-                if step == cfg.profile_start and not profiling:
-                    jax.profiler.start_trace(
-                        os.path.join(cfg.snapshot_dir, "profile")
+        if use_fused:
+            # Fused path: each bucket's epoch is a [nb, B] index matrix;
+            # run it as lax.scan segments of <= val_interval_steps rows so
+            # validation/snapshot cadence survives. Segment shapes repeat
+            # across epochs (bucket membership is fixed), so the compile
+            # set stays bounded at <= 2 programs per bucket.
+            seg = max(1, cfg.val_interval_steps)
+            for b_idx, arrays, idx, w in train_pipe.epoch_plan(epoch):
+                if stop:
+                    break
+                for k0 in range(0, idx.shape[0], seg):
+                    profile_tick()
+                    idx_k = idx[k0 : k0 + seg]
+                    w_k = w[k0 : k0 + seg]
+                    if cfg.max_steps:
+                        remaining = start_step + cfg.max_steps - step
+                        if remaining <= 0:
+                            stop = True
+                            break
+                        if remaining < idx_k.shape[0]:
+                            idx_k = idx_k[:remaining]
+                            w_k = w_k[:remaining]
+                    lr = jnp.asarray(plateau.lr, jnp.float32)
+                    state, m = train_epoch(
+                        state, *arrays, idx_k, w_k, lr, rng
                     )
-                    profiling = True
-                elif step >= cfg.profile_stop and profiling:
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    log(f"profile trace written to {cfg.snapshot_dir}/profile")
-            lr = jnp.asarray(plateau.lr, jnp.float32)
-            weights = jnp.asarray(batch.valid, jnp.float32)
-            state, m = train_step(
-                state,
-                batch.images,
-                batch.widths,
-                batch.labels,
-                batch.label_lengths,
-                weights,
-                lr,
-                rng,
-            )
-            step += 1
-            window_lines += batch.size
-            if step % cfg.log_interval == 0:
-                # Fail fast on divergence (SURVEY.md §5: fail-fast +
-                # deterministic resume is the failure-handling model).
-                # Note: the NaN-safe CTC clamps unreachable paths to -1e30,
-                # so NaN'd parameters surface as a ~1e30 loss rather than
-                # NaN — guard on magnitude as well as finiteness.
-                loss_now = float(m["loss"])
-                gnorm_now = float(m["gnorm"])
-                if (not np.isfinite(loss_now) or abs(loss_now) > 1e20
-                        or not np.isfinite(gnorm_now)):
-                    snapshot("diverged", step, epoch, {"loss": loss_now})
-                    raise FloatingPointError(
-                        f"divergence at step {step}: loss={loss_now}, "
-                        f"gnorm={gnorm_now}; state saved to "
-                        f"{cfg.snapshot_dir}/diverged (resume from an "
-                        f"earlier snapshot with a lower lr)"
-                    )
-                dt = max(time.time() - window_t0, 1e-9)
-                lps = window_lines / dt
-                summary_lines_per_sec = lps
-                rec = {
-                    "step": step,
-                    "epoch": epoch,
-                    "loss": round(float(m["loss"]), 4),
-                    "gnorm": round(float(m["gnorm"]), 3),
-                    "lr": plateau.lr,
-                    "lines_per_sec": round(lps, 1),
-                }
-                log(f"step {step}: {rec}")
-                emit(rec)
-                window_lines, window_t0 = 0, time.time()
-            if step % cfg.val_interval_steps == 0 and val_pipe is not None:
-                c, w, v_lps = evaluate(
-                    eval_step, state.params, state.batch_stats, val_pipe,
-                    alphabet, sharding=data_sharding,
+                    step += idx_k.shape[0]
+                    window_lines += int(idx_k.shape[0] * idx_k.shape[1])
+                    loss_now, gnorm_now = check_divergence(m, epoch)
+                    log_window(m, epoch, loss_now, gnorm_now)
+                    if (
+                        val_pipe is not None
+                        and step // cfg.val_interval_steps
+                        > (step - idx_k.shape[0]) // cfg.val_interval_steps
+                    ):
+                        run_validation(epoch)
+                    if cfg.max_steps and step >= start_step + cfg.max_steps:
+                        stop = True
+                        break
+        else:
+            for batch in train_pipe.device_epoch(epoch, sharding=data_sharding):
+                profile_tick()
+                lr = jnp.asarray(plateau.lr, jnp.float32)
+                weights = jnp.asarray(batch.valid, jnp.float32)
+                state, m = train_step(
+                    state,
+                    batch.images,
+                    batch.widths,
+                    batch.labels,
+                    batch.label_lengths,
+                    weights,
+                    lr,
+                    rng,
                 )
-                last_val = (c, w)
-                is_best = plateau.update(c)
-                rec = {
-                    "step": step,
-                    "val_cer": round(c, 5),
-                    "val_wer": round(w, 5),
-                    "val_lines_per_sec": round(v_lps, 1),
-                    "lr": plateau.lr,
-                    "best": is_best,
-                }
-                log(f"val @ {step}: {rec}")
-                emit(rec)
-                snapshot("last", step, epoch, {"val_cer": c, "val_wer": w})
-                if is_best:
-                    best_cer = c
-                    promote(
-                        os.path.join(cfg.snapshot_dir, "last"),
-                        os.path.join(cfg.snapshot_dir, "best"),
-                    )
-            if cfg.max_steps and step >= start_step + cfg.max_steps:
-                stop = True
-                break
+                step += 1
+                window_lines += batch.size
+                if step % cfg.log_interval == 0:
+                    loss_now, gnorm_now = check_divergence(m, epoch)
+                    log_window(m, epoch, loss_now, gnorm_now)
+                if step % cfg.val_interval_steps == 0 and val_pipe is not None:
+                    run_validation(epoch)
+                if cfg.max_steps and step >= start_step + cfg.max_steps:
+                    stop = True
+                    break
         if not stop:
             cur_epoch = epoch + 1
             snapshot("last", step, cur_epoch, {})
@@ -637,6 +736,19 @@ def build_argparser() -> argparse.ArgumentParser:
         "--platform", default=None, choices=("cpu", "tpu", "axon"),
         help="override jax platform (e.g. cpu for the smoke preset)",
     )
+    # Multi-host launch (SURVEY.md §5 distributed backend): one process per
+    # host, jax.distributed.initialize() makes jax.devices() span hosts and
+    # XLA lays collectives over ICI within a slice / DCN across slices.
+    # Everything downstream (mesh, shardings) is unchanged.
+    p.add_argument(
+        "--coordinator-address", default=None, metavar="HOST:PORT",
+        help="multi-host: coordinator address (enables "
+             "jax.distributed.initialize)",
+    )
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank")
     for f in dataclasses.fields(TrainConfig):
         name = "--" + f.name.replace("_", "-")
         if f.type == "bool" or isinstance(f.default, bool):
@@ -665,10 +777,28 @@ def config_from_args(args) -> TrainConfig:
     return TrainConfig(**base)
 
 
+def maybe_init_distributed(
+    coordinator_address=None, num_processes=None, process_id=None
+):
+    """jax.distributed.initialize() when a coordinator is configured —
+    must run before the first backend touch (make_mesh / jax.devices)."""
+    if not coordinator_address:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    maybe_init_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
     cfg = config_from_args(args)
     if not cfg.data_dir:
         raise SystemExit("--data-dir is required")
