@@ -63,6 +63,18 @@ def _ensure_data():
 def main():
     import jax
 
+    # Multi-host bench: BENCH_COORDINATOR_ADDRESS=host:port (+ counts)
+    # initializes jax.distributed before the first backend touch; the
+    # mesh/sharding code below is unchanged (SURVEY.md §5).
+    if os.environ.get("BENCH_COORDINATOR_ADDRESS"):
+        from vistaocr_tpu.train import maybe_init_distributed
+
+        maybe_init_distributed(
+            os.environ["BENCH_COORDINATOR_ADDRESS"],
+            int(os.environ.get("BENCH_NUM_PROCESSES", "1")),
+            int(os.environ.get("BENCH_PROCESS_ID", "0")),
+        )
+
     # Persistent compilation cache: per-bucket graphs compile once per
     # machine, not once per bench run.
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
