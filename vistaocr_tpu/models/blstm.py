@@ -85,6 +85,9 @@ def lstm_layer(
 
 
 def _resolve_impl(impl: str) -> str:
+    """auto | scan | pallas | pallas_interpret (the latter runs the fused
+    kernels in Pallas interpret mode — CPU-runnable, used to exercise the
+    fast path under virtual multi-device meshes in tests/dryruns)."""
     if impl != "auto":
         return impl
     # The fused Pallas recurrence targets TPU (the axon platform is a
@@ -114,7 +117,9 @@ class BLSTMStack(nn.Module):
         self, x: jax.Array, mask: jax.Array, *, train: bool
     ) -> jax.Array:
         H = self.hidden
-        use_pallas = _resolve_impl(self.impl) == "pallas"
+        impl = _resolve_impl(self.impl)
+        use_pallas = impl.startswith("pallas")
+        interpret = impl == "pallas_interpret"
 
         def bias_init(key, shape, dtype):
             # forget-gate slice gets +1
@@ -154,9 +159,11 @@ class BLSTMStack(nn.Module):
                 x = jnp.concatenate(
                     [
                         lstm_layer_pallas(x, mask, *params["fwd"],
-                                          reverse=False, dtype=self.dtype),
+                                          reverse=False, dtype=self.dtype,
+                                          interpret=interpret),
                         lstm_layer_pallas(x, mask, *params["bwd"],
-                                          reverse=True, dtype=self.dtype),
+                                          reverse=True, dtype=self.dtype,
+                                          interpret=interpret),
                     ],
                     axis=-1,
                 )

@@ -112,6 +112,8 @@ def ctc_loss(
 
 
 def resolve_ctc_impl(impl: str = "auto") -> str:
+    """auto | scan | pallas | pallas_interpret (interpret mode runs the
+    Pallas kernels on CPU — used under virtual meshes in tests/dryruns)."""
     if impl != "auto":
         return impl
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "scan"
@@ -137,10 +139,14 @@ def mean_ctc_loss(
     ``impl`` picks the scan oracle or the Pallas alpha-beta kernel
     (ops/ctc_pallas.py); auto = Pallas on TPU backends.
     """
-    if resolve_ctc_impl(impl) == "pallas":
+    impl_r = resolve_ctc_impl(impl)
+    if impl_r.startswith("pallas"):
         from .ctc_pallas import ctc_loss_pallas
 
-        per = ctc_loss_pallas(log_probs, input_lengths, labels, label_lengths, blank)
+        per = ctc_loss_pallas(
+            log_probs, input_lengths, labels, label_lengths, blank,
+            impl_r == "pallas_interpret",
+        )
     else:
         per = ctc_loss(log_probs, input_lengths, labels, label_lengths, blank=blank)
     if label_average:

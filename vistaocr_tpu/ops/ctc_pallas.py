@@ -109,7 +109,7 @@ def _pick_unroll(T: int, step_bytes: int) -> int:
     return 1
 
 
-def _run_alpha(lp_ext, active, skip, svalid, *, interpret=False):
+def _run_alpha_local(lp_ext, active, skip, svalid, *, interpret=False):
     T, B, S = lp_ext.shape
     U = _pick_unroll(T, 4 * B * 2 * S)
     return pl.pallas_call(
@@ -131,6 +131,24 @@ def _run_alpha(lp_ext, active, skip, svalid, *, interpret=False):
         ),
         interpret=interpret,
     )(lp_ext, active, skip, svalid)
+
+
+@functools.lru_cache(maxsize=None)
+def _alpha_op(interpret: bool):
+    """SPMD-partitionable alpha recursion: the kernel is per-sample, so
+    each device runs its local batch shard (parallel/partition.py) instead
+    of GSPMD's all-gather-and-replicate around the opaque pallas call."""
+    from ..parallel.partition import batch_partitioned
+
+    def impl(lp_ext, active, skip, svalid):
+        return _run_alpha_local(lp_ext, active, skip, svalid,
+                                interpret=interpret)
+
+    return batch_partitioned(impl, "t b s, t u b, b s, b s -> t b s")
+
+
+def _run_alpha(lp_ext, active, skip, svalid, *, interpret=False):
+    return _alpha_op(bool(interpret))(lp_ext, active, skip, svalid)
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +201,7 @@ def _beta_kernel(
     bt_ref[:] = bt
 
 
-def _run_beta(
+def _run_beta_local(
     lp_ext, active, islast, skip2, svalid, terminal, alphas, logp,
     *, interpret=False,
 ):
@@ -213,6 +231,30 @@ def _run_beta(
         ),
         interpret=interpret,
     )(lp_ext, active, islast, skip2, svalid, terminal, alphas, logp)
+
+
+@functools.lru_cache(maxsize=None)
+def _beta_op(interpret: bool):
+    from ..parallel.partition import batch_partitioned
+
+    def impl(lp_ext, active, islast, skip2, svalid, terminal, alphas, logp):
+        return _run_beta_local(
+            lp_ext, active, islast, skip2, svalid, terminal, alphas, logp,
+            interpret=interpret,
+        )
+
+    return batch_partitioned(
+        impl, "t b s, t u b, t u b, b s, b s, b s, t b s, u b -> t b s"
+    )
+
+
+def _run_beta(
+    lp_ext, active, islast, skip2, svalid, terminal, alphas, logp,
+    *, interpret=False,
+):
+    return _beta_op(bool(interpret))(
+        lp_ext, active, islast, skip2, svalid, terminal, alphas, logp
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -95,7 +95,7 @@ def _pick_unroll(T: int, step_bytes: int) -> int:
     return 1
 
 
-def _lstm_fwd_pallas(
+def _lstm_fwd_local(
     xw: jax.Array,  # [T, B, 4H] f32 (input projections + bias)
     mask: jax.Array,  # [T, 1, B] float32 (1=valid)
     wh: jax.Array,  # [H, 4H] in compute dtype
@@ -137,6 +137,63 @@ def _lstm_fwd_pallas(
     if save_cell:
         return out[0], out[1]
     return out[0], None
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_op(dtype, interpret: bool, save_cell: bool):
+    """SPMD-partitionable forward recurrence: per-sample kernel, so each
+    device runs its local batch shard (see parallel/partition.py) instead
+    of GSPMD replicating the opaque pallas call after an all-gather."""
+    from ..parallel.partition import batch_partitioned
+
+    if save_cell:
+        def impl(xw, mask, wh):
+            return _lstm_fwd_local(
+                xw, mask, wh, dtype=dtype, interpret=interpret, save_cell=True
+            )
+
+        return batch_partitioned(impl, "t b g, t u b, h g -> t b h, t b h")
+
+    def impl(xw, mask, wh):
+        ys, _ = _lstm_fwd_local(
+            xw, mask, wh, dtype=dtype, interpret=interpret, save_cell=False
+        )
+        return ys
+
+    return batch_partitioned(impl, "t b g, t u b, h g -> t b h")
+
+
+def _lstm_fwd_pallas(xw, mask, wh, *, dtype, interpret=False, save_cell=True):
+    out = _fwd_op(jnp.dtype(dtype), bool(interpret), bool(save_cell))(
+        xw, mask, wh
+    )
+    if save_cell:
+        return out[0], out[1]
+    return out, None
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_op(dtype, interpret: bool):
+    """Partitioned backward: dxw is per-sample; dwh is a SUM over the batch
+    — psum'd across the batch mesh axes by the partition wrapper."""
+    from ..parallel.partition import batch_partitioned
+
+    def impl(xw, mask, wh, ys, cs, dys):
+        return _lstm_bwd_local(
+            xw, mask, wh, ys, cs, dys, dtype=dtype, interpret=interpret
+        )
+
+    return batch_partitioned(
+        impl,
+        "t b g, t u b, h g, t b h, t b h, t b h -> t b g, h g",
+        reduced_outputs=(1,),
+    )
+
+
+def _lstm_bwd_pallas(xw, mask, wh, ys, cs, dys, *, dtype, interpret=False):
+    return _bwd_op(jnp.dtype(dtype), bool(interpret))(
+        xw, mask, wh, ys, cs, dys
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +278,7 @@ def _bwd_kernel(
     dwh_ref[:] += dwh_acc
 
 
-def _lstm_bwd_pallas(
+def _lstm_bwd_local(
     xw, mask, wh, ys, cs, dys, *, dtype, interpret: bool = False
 ):
     T, B, H4 = xw.shape
