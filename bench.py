@@ -223,6 +223,49 @@ def main():
     _force(out[0])
     eval_lps = lines / (time.time() - t0) / n_chips
 
+    # Serving path (BASELINE.json config #5): width-routed dynamically
+    # batched OcrService, measured end-to-end (submit -> Future result,
+    # host normalize + device forward + decode). Futures resolve with host
+    # strings, so no extra fencing is needed. BENCH_SERVICE=0 skips.
+    svc_lps = svc_beam_lps = 0.0
+    if os.environ.get("BENCH_SERVICE", "1") == "1":
+        import tempfile
+
+        from vistaocr_tpu.checkpoint import save_snapshot
+        from vistaocr_tpu.serve import OcrService, ServiceConfig
+
+        snap = tempfile.mkdtemp(prefix="vistaocr_bench_snap_")
+        save_snapshot(
+            snap,
+            variables={
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            },
+            model_config=cfg, alphabet=alphabet, contract=contract, step=0,
+        )
+        val = ShardedLineDataset(data_dir, "val")
+        imgs = [val[i].image for i in range(len(val))]
+
+        svc = OcrService(snap, ServiceConfig(max_batch=128, max_wait_ms=2.0))
+        svc.ocr_lines(imgs)  # full untimed pass: every bucket's path hot
+        t0 = time.time()
+        res = svc.ocr_lines(imgs)
+        svc_lps = len(res) / (time.time() - t0) / n_chips
+        svc.close()
+        _log(f"service greedy: {svc_lps:.0f} lines/s/chip")
+
+        svc_b = OcrService(
+            snap,
+            ServiceConfig(max_batch=128, max_wait_ms=2.0, decoder="beam"),
+        )
+        sub = imgs[:256]
+        svc_b.ocr_lines(sub)  # untimed warm pass
+        t0 = time.time()
+        res = svc_b.ocr_lines(sub)
+        svc_beam_lps = len(res) / (time.time() - t0) / n_chips
+        svc_b.close()
+        _log(f"service beam: {svc_beam_lps:.0f} lines/s/chip")
+
     print(json.dumps({
         "metric": "train_lines_per_sec_per_chip",
         "value": round(train_lps, 1),
@@ -230,6 +273,8 @@ def main():
         "vs_baseline": round(train_lps / NOMINAL_REFERENCE_LINES_PER_SEC, 3),
         "extra": {
             "eval_lines_per_sec_per_chip": round(eval_lps, 1),
+            "service_lines_per_sec_per_chip": round(svc_lps, 1),
+            "service_beam_lines_per_sec_per_chip": round(svc_beam_lps, 1),
             "chips": n_chips,
             "timed_steps": TIMED_STEPS,
             "compute_dtype": "bfloat16",

@@ -43,6 +43,9 @@ def run_inference(
     from .decode import BeamConfig, beam_decode, load_lm
 
     model, variables, alphabet, contract = load_model(snapshot)
+    # Snapshots deserialize to host numpy; pin weights on device once so
+    # each batch doesn't re-upload them (serve/service.py has the numbers).
+    variables = jax.device_put(variables)
     ds = ShardedLineDataset(data_dir, split)
     pipe = BatchPipeline(
         ds, alphabet, contract, batch_pixels=batch_pixels,
