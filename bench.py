@@ -109,7 +109,8 @@ def main():
     model = CnnLstmOcr(cfg)
     variables = model.init_params(jax.random.PRNGKey(0))
 
-    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.scale_by_adam())
+    # Clip applied in-step (reuses the metrics gnorm, one less tree pass).
+    tx = optax.chain(optax.identity(), optax.scale_by_adam())
     state = TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
@@ -117,7 +118,7 @@ def main():
         step=jnp.asarray(0, jnp.int32),
     )
     state = jax.device_put(state, replicated(mesh))
-    train_step = make_train_step(model, tx, label_average=False)
+    train_step = make_train_step(model, tx, label_average=False, grad_clip=5.0)
     eval_step = make_eval_step(model)
 
     pipe = BatchPipeline(
@@ -173,7 +174,8 @@ def main():
     if fused:
         from vistaocr_tpu.train import make_train_epoch
 
-        train_epoch = make_train_epoch(model, tx, label_average=False)
+        train_epoch = make_train_epoch(model, tx, label_average=False,
+                                       grad_clip=5.0)
         # compile each bucket's epoch program
         for b_idx, arrays, idx, w in pipe.epoch_plan(0):
             state, m = train_epoch(state, *arrays, idx, w, lr, rng)

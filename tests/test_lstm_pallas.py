@@ -98,6 +98,48 @@ class TestGradients:
                                    atol=2e-4, rtol=1e-3)
 
 
+class TestBf16Streams:
+    """With dtype=bfloat16 the kernel streams xw/ys/cs/dxw through HBM in
+    bf16 (carries stay f32 in VMEM). Values/grads track the f32 scan
+    oracle to bf16 rounding, not 1e-5 — this pins the tolerance."""
+
+    def test_forward_close_to_oracle(self):
+        x, mask, wx, wh, b = _case(0)
+        ours = lstm_layer_pallas(x, mask, wx, wh, b, dtype=jnp.bfloat16,
+                                 interpret=True)
+        assert ours.dtype == jnp.bfloat16
+        ref = lstm_layer(x, mask, wx, wh, b)
+        np.testing.assert_allclose(
+            np.asarray(ours, np.float32), np.asarray(ref),
+            atol=3e-2, rtol=3e-2,
+        )
+
+    def test_grads_close_to_oracle(self):
+        x, mask, wx, wh, b = _case(1)
+        rng = np.random.default_rng(11)
+        proj = jnp.asarray(
+            rng.normal(0, 1, x.shape[:2] + (wh.shape[0],)).astype(np.float32))
+        m = mask.astype(jnp.float32)[..., None]
+
+        def loss(impl_kwargs):
+            def f(x_, wx_, wh_, b_):
+                ys = lstm_layer_pallas(x_, mask, wx_, wh_, b_, interpret=True,
+                                       **impl_kwargs)
+                return jnp.sum(ys.astype(jnp.float32) * proj * m)
+            return jax.grad(f, argnums=(0, 1, 2, 3))(x, wx, wh, b)
+
+        gb = loss({"dtype": jnp.bfloat16})
+        gs = loss({"dtype": jnp.float32})
+        for a, r, name in zip(gb, gs, ["x", "wx", "wh", "b"]):
+            a = np.asarray(a, np.float32)
+            r = np.asarray(r, np.float32)
+            denom = max(np.abs(r).max(), 1e-3)
+            assert np.abs(a - r).max() / denom < 0.08, (
+                f"bf16-stream grad for {name} drifted: "
+                f"{np.abs(a - r).max() / denom:.3f} rel"
+            )
+
+
 class TestBidirStacked:
     """Direction-stacked kernel vs two single-direction passes."""
 

@@ -24,9 +24,14 @@ is one ``pallas_call`` with ``grid=(T,)``:
   tests/test_lstm_pallas.py, plus gradient checks against jax autodiff
   of the scan oracle).
 
-dtype policy: xw/ys are f32 in HBM; the h@wh matmul runs with inputs cast
-to ``dtype`` (bf16 in production) and f32 accumulation; (h, c) scratch
-stays f32.
+dtype policy: the HBM streams (xw in, ys/cs residuals out, dys/dxw in the
+backward) ride in the COMPUTE dtype — bf16 in production, halving the
+recurrence's HBM traffic, which is what bounds it (measured: fwd time at
+B=512 matches the f32 stream bytes / 819 GB/s to within noise). The
+(h, c) carry and the dwh accumulator stay f32 in VMEM scratch, and all
+gate math is f32, so rounding only enters where a state crosses HBM.
+With dtype=float32 the streams are f32 and the kernel is bit-comparable
+to the scan oracle (the parity tests run there).
 """
 
 from __future__ import annotations
@@ -64,7 +69,7 @@ def _fwd_kernel(xw_ref, mask_ref, wh_ref, *out_and_scratch, dtype, unroll,
     # ``unroll`` timesteps per grid step: the recurrent matmul is small, so
     # per-step block swaps dominate at U=1.
     for u in range(unroll):
-        gates = xw_ref[u] + jnp.dot(
+        gates = xw_ref[u].astype(jnp.float32) + jnp.dot(
             h.astype(dtype), wh, preferred_element_type=jnp.float32
         )
         i = jax.nn.sigmoid(gates[:, :H])
@@ -76,9 +81,9 @@ def _fwd_kernel(xw_ref, mask_ref, wh_ref, *out_and_scratch, dtype, unroll,
         m = mask_ref[u, 0].astype(jnp.float32)[:, None]
         h = m * h_new + (1.0 - m) * h
         c = m * c_new + (1.0 - m) * c
-        ys_ref[u] = h
+        ys_ref[u] = h.astype(ys_ref.dtype)
         if save_cell:
-            cs_ref[u] = c
+            cs_ref[u] = c.astype(cs_ref.dtype)
     h_ref[:] = h
     c_ref[:] = c
 
@@ -96,7 +101,7 @@ def _pick_unroll(T: int, step_bytes: int) -> int:
 
 
 def _lstm_fwd_local(
-    xw: jax.Array,  # [T, B, 4H] f32 (input projections + bias)
+    xw: jax.Array,  # [T, B, 4H] in stream dtype (input projections + bias)
     mask: jax.Array,  # [T, 1, B] float32 (1=valid)
     wh: jax.Array,  # [H, 4H] in compute dtype
     *,
@@ -105,10 +110,12 @@ def _lstm_fwd_local(
     save_cell: bool = True,
 ) -> Tuple[jax.Array, "jax.Array | None"]:
     """``save_cell=False`` (inference path) skips writing the cell-state
-    residual to HBM — it is only needed by the backward kernel."""
+    residual to HBM — it is only needed by the backward kernel. ys/cs come
+    back in xw's dtype (the stream dtype)."""
     T, B, H4 = xw.shape
     H = H4 // 4
-    U = _pick_unroll(T, 4 * B * (H4 + 2 * H))
+    sdt = xw.dtype
+    U = _pick_unroll(T, B * (H4 + 2 * H) * sdt.itemsize + 4 * B)
     kernel = functools.partial(_fwd_kernel, dtype=dtype, unroll=U,
                                save_cell=save_cell)
     ts_spec = pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
@@ -123,7 +130,7 @@ def _lstm_fwd_local(
         ],
         out_specs=[ts_spec, ts_spec] if save_cell else [ts_spec],
         out_shape=(
-            [jax.ShapeDtypeStruct((T, B, H), jnp.float32)] * (2 if save_cell else 1)
+            [jax.ShapeDtypeStruct((T, B, H), sdt)] * (2 if save_cell else 1)
         ),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -233,10 +240,11 @@ def _bwd_kernel(
     dwh_acc = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
     for u in reversed(range(unroll)):
         h_prev = ys_prev_ref[u]
-        c_prev = cs_prev_ref[u]
-        c_t = cs_prev_ref[u + 1] if u + 1 < unroll else cs_next_ref[0]
+        c_prev = cs_prev_ref[u].astype(jnp.float32)
+        c_t = (cs_prev_ref[u + 1] if u + 1 < unroll
+               else cs_next_ref[0]).astype(jnp.float32)
 
-        gates = xw_ref[u] + jnp.dot(
+        gates = xw_ref[u].astype(jnp.float32) + jnp.dot(
             h_prev.astype(dtype), wh, preferred_element_type=jnp.float32
         )
         i = jax.nn.sigmoid(gates[:, :H])
@@ -246,16 +254,19 @@ def _bwd_kernel(
         tanh_c = jnp.tanh(c_t)
 
         m = mask_ref[u, 0].astype(jnp.float32)[:, None]
-        dh = dh_carry + dys_ref[u]
+        dh = dh_carry + dys_ref[u].astype(jnp.float32)
         dc = dc_carry
 
         # Write each gate slice straight into dxw_ref (no concat temp).
+        sdt = dxw_ref.dtype
         do = dh * tanh_c
         dc_t = dc + dh * o * (1.0 - tanh_c * tanh_c)
-        dxw_ref[u, :, :H] = (dc_t * g) * i * (1.0 - i) * m
-        dxw_ref[u, :, H : 2 * H] = (dc_t * c_prev) * f * (1.0 - f) * m
-        dxw_ref[u, :, 2 * H : 3 * H] = (dc_t * i) * (1.0 - g * g) * m
-        dxw_ref[u, :, 3 * H :] = do * o * (1.0 - o) * m
+        dxw_ref[u, :, :H] = ((dc_t * g) * i * (1.0 - i) * m).astype(sdt)
+        dxw_ref[u, :, H : 2 * H] = (
+            (dc_t * c_prev) * f * (1.0 - f) * m).astype(sdt)
+        dxw_ref[u, :, 2 * H : 3 * H] = (
+            (dc_t * i) * (1.0 - g * g) * m).astype(sdt)
+        dxw_ref[u, :, 3 * H :] = (do * o * (1.0 - o) * m).astype(sdt)
         dgates = dxw_ref[u]
 
         # dwh += h_prev^T @ dgates (batch axis contracted, no transpose).
@@ -283,13 +294,14 @@ def _lstm_bwd_local(
 ):
     T, B, H4 = xw.shape
     H = H4 // 4
-    U = _pick_unroll(T, 4 * B * (2 * H4 + 4 * H))
+    sdt = xw.dtype
+    U = _pick_unroll(T, B * (2 * H4 + 4 * H) * sdt.itemsize + 4 * B)
     nblk = T // U
     # Pad states so every block (incl. cs_next for the last processed
     # frame) exists: row 0 is the zero initial state, rows 1..T the saved
     # states, then U-1 slack rows (never read as values that matter).
-    zrow = jnp.zeros((1, B, H), jnp.float32)
-    slack = jnp.zeros((U - 1, B, H), jnp.float32) if U > 1 else None
+    zrow = jnp.zeros((1, B, H), ys.dtype)
+    slack = jnp.zeros((U - 1, B, H), ys.dtype) if U > 1 else None
     parts = [zrow, ys] + ([slack] if slack is not None else [])
     ys_pad = jnp.concatenate(parts, axis=0)  # [T+U, B, H]
     parts = [zrow, cs] + ([slack] if slack is not None else [])
@@ -318,8 +330,8 @@ def _lstm_bwd_local(
             pl.BlockSpec((H, H4), lambda k: (0, 0), memory_space=pltpu.VMEM),  # dwh
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
-            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), sdt),  # dxw (stream dtype)
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),  # dwh (f32 accum)
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),  # dh carry
@@ -343,8 +355,9 @@ def _lstm_bwd_local(
 def lstm_recurrence_pallas(xw, mask, wh, dtype=jnp.float32, interpret=False):
     """Masked LSTM recurrence over precomputed gate inputs.
 
-    xw: [T, B, 4H] f32; mask: [T, B] f32; wh: [H, 4H] (any float dtype).
-    Returns ys: [T, B, H] f32 hidden states.
+    xw: [T, B, 4H] in the stream dtype (f32 or bf16); mask: [T, 1, B] f32;
+    wh: [H, 4H] (any float dtype). Returns ys: [T, B, H] hidden states in
+    xw's dtype; gradients dxw come back in the same dtype.
     """
     ys, _ = _lstm_fwd_pallas(
         xw, mask, wh.astype(dtype), dtype=dtype, interpret=interpret,
@@ -363,7 +376,7 @@ def _fwd_rule(xw, mask, wh, dtype, interpret):
 def _bwd_rule(dtype, interpret, residuals, dys):
     xw, mask, wh, ys, cs = residuals
     dxw, dwh = _lstm_bwd_pallas(
-        xw, mask, wh.astype(dtype), ys, cs, dys,
+        xw, mask, wh.astype(dtype), ys, cs, dys.astype(ys.dtype),
         dtype=dtype, interpret=interpret,
     )
     return dxw, None, dwh.astype(wh.dtype)
@@ -384,12 +397,14 @@ def lstm_layer_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for models.blstm.lstm_layer backed by the fused
-    kernel. Same contract: [B, T, H] f32 states, carry frozen at padding."""
-    # Hoisted input projection (one big MXU matmul), as in the scan path.
+    kernel. Same contract: [B, T, H] states (in ``dtype``), carry frozen
+    at padding."""
+    # Hoisted input projection (one big MXU matmul), as in the scan path;
+    # accumulate f32, then stream to the kernel in the compute dtype.
     xw = (
         jnp.dot(x.astype(dtype), wx.astype(dtype), preferred_element_type=jnp.float32)
         + b.astype(jnp.float32)
-    )
+    ).astype(dtype)
     xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H]
     m = jnp.swapaxes(mask, 0, 1).astype(jnp.float32)[:, None, :]  # [T, 1, B]
     if reverse:

@@ -193,18 +193,53 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: TrainConfig, include_clip: bool = True
+) -> optax.GradientTransformation:
+    """``include_clip=False`` swaps the clip stage for ``optax.identity()``
+    — same opt_state pytree (both are EmptyState, so checkpoints stay
+    interchangeable) — for callers that clip inside the train step instead
+    (reusing the metrics gnorm saves one full gradient-tree pass)."""
     if cfg.optimizer == "adam":
         core = optax.scale_by_adam()
     elif cfg.optimizer == "sgd":
         core = optax.trace(decay=cfg.momentum, nesterov=False)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), core)
+    first = (
+        optax.clip_by_global_norm(cfg.grad_clip)
+        if include_clip
+        else optax.identity()
+    )
+    return optax.chain(first, core)
+
+
+def _clip_by_known_norm(grads, gnorm, max_norm):
+    """optax.clip_by_global_norm math with the norm precomputed (it is
+    always needed for metrics): t * (max_norm / gnorm) iff gnorm >= max."""
+    trigger = gnorm < max_norm
+
+    def clip_fn(t):
+        return jax.lax.select(
+            trigger, t, (t / gnorm.astype(t.dtype)) * max_norm
+        )
+
+    return jax.tree.map(clip_fn, grads)
+
+
+def _apply_lr(params, updates, lr):
+    """params - lr * updates in ONE tree pass (instead of scale-then-add)."""
+    return jax.tree.map(
+        lambda p, u: p - (lr * u).astype(p.dtype), params, updates
+    )
 
 
 def make_train_step(model: CnnLstmOcr, tx, label_average: bool,
-                    ctc_impl: str = "auto"):
+                    ctc_impl: str = "auto", grad_clip: float = None):
+    """``grad_clip``: when set, gradients are clipped IN the step reusing
+    the metrics gnorm — pass a tx built with include_clip=False so the
+    clip isn't applied twice (twice is a no-op mathematically, but wastes
+    a full tree pass)."""
     def train_step(state, images, widths, labels, label_lengths, weights, lr, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
@@ -233,10 +268,11 @@ def make_train_step(model: CnnLstmOcr, tx, label_average: bool,
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        if grad_clip is not None:
+            grads = _clip_by_known_norm(grads, gnorm, grad_clip)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = _apply_lr(state.params, updates, lr)
         new_state = state.replace(
             params=new_params,
             batch_stats=new_bs,
@@ -249,7 +285,8 @@ def make_train_step(model: CnnLstmOcr, tx, label_average: bool,
 
 
 def make_train_epoch(model: CnnLstmOcr, tx, label_average: bool,
-                     ctc_impl: str = "auto", batch_shardings=None):
+                     ctc_impl: str = "auto", batch_shardings=None,
+                     grad_clip: float = None):
     """Epoch-fused trainer: one jitted program runs a whole bucket's worth
     of steps as a lax.scan over device-resident data, gathering each batch
     by index on device. Removes per-step host dispatch entirely — on a
@@ -303,14 +340,16 @@ def make_train_epoch(model: CnnLstmOcr, tx, label_average: bool,
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            gnorm = optax.global_norm(grads)
+            if grad_clip is not None:
+                grads = _clip_by_known_norm(grads, gnorm, grad_clip)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            updates = jax.tree.map(lambda u: -lr * u, updates)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params = _apply_lr(state.params, updates, lr)
             new_state = state.replace(
                 params=new_params, batch_stats=new_bs, opt_state=new_opt,
                 step=state.step + 1,
             )
-            return new_state, (loss, optax.global_norm(grads))
+            return new_state, (loss, gnorm)
 
         state, (losses, gnorms) = jax.lax.scan(body, state, (idx, weights))
         return state, {
@@ -420,7 +459,9 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     if not resuming:
         variables = model.init_params(jax.random.PRNGKey(cfg.seed))
 
-    tx = make_optimizer(cfg)
+    # Clip is applied inside the train step (reusing the metrics gnorm);
+    # include_clip=False keeps the opt_state pytree identical for resume.
+    tx = make_optimizer(cfg, include_clip=False)
     opt_state = tx.init(variables["params"])
     if resuming and has_opt_state(resume_dir):
         opt_state = load_opt_state(resume_dir, opt_state)
@@ -439,7 +480,8 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         else replicated(mesh),
     )
 
-    train_step = make_train_step(model, tx, cfg.label_average, cfg.ctc_impl)
+    train_step = make_train_step(model, tx, cfg.label_average, cfg.ctc_impl,
+                                 grad_clip=cfg.grad_clip)
     eval_step = make_eval_step(model)
 
     train_pipe = BatchPipeline(
@@ -507,7 +549,7 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     train_epoch = (
         make_train_epoch(
             model, tx, cfg.label_average, cfg.ctc_impl,
-            batch_shardings=data_sharding,
+            batch_shardings=data_sharding, grad_clip=cfg.grad_clip,
         )
         if use_fused
         else None
