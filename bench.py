@@ -135,7 +135,9 @@ def main():
         _log("device cache enabled")
     sharding = shard_batch_arrays(mesh)
     lr = jnp.asarray(1e-3, jnp.float32)
-    rng = jax.random.PRNGKey(0)
+    # rbg keys ride the TPU hardware RNG: threefry dropout-mask generation
+    # alone measured 3.5 ms/step at the W=512 bucket (scripts/profile_ablate).
+    rng = jax.random.key(0, impl="rbg")
 
     def batches():
         epoch = 0

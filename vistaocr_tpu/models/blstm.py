@@ -120,6 +120,13 @@ class BLSTMStack(nn.Module):
         impl = _resolve_impl(self.impl)
         use_pallas = impl.startswith("pallas")
         interpret = impl == "pallas_interpret"
+        if use_pallas:
+            # The fused-kernel stack runs TIME-MAJOR end to end: one
+            # [B,T]<->[T,B] transpose pair per stack (here and at return)
+            # instead of one per layer-direction — the per-layer xw/ys
+            # transposes were measurable HBM passes at production shapes.
+            x = jnp.swapaxes(x, 0, 1)  # [T, B, D]
+            tmask = jnp.swapaxes(mask, 0, 1)  # [T, B]
 
         def bias_init(key, shape, dtype):
             # forget-gate slice gets +1
@@ -158,12 +165,14 @@ class BLSTMStack(nn.Module):
 
                 x = jnp.concatenate(
                     [
-                        lstm_layer_pallas(x, mask, *params["fwd"],
+                        lstm_layer_pallas(x, tmask, *params["fwd"],
                                           reverse=False, dtype=self.dtype,
-                                          interpret=interpret),
-                        lstm_layer_pallas(x, mask, *params["bwd"],
+                                          interpret=interpret,
+                                          time_major=True),
+                        lstm_layer_pallas(x, tmask, *params["bwd"],
                                           reverse=True, dtype=self.dtype,
-                                          interpret=interpret),
+                                          interpret=interpret,
+                                          time_major=True),
                     ],
                     axis=-1,
                 )
@@ -179,4 +188,6 @@ class BLSTMStack(nn.Module):
                 )  # [B, T, 2H]
             if self.dropout > 0 and layer < self.layers - 1:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if use_pallas:
+            x = jnp.swapaxes(x, 0, 1)  # back to [B, T, 2H]
         return x

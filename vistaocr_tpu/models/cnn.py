@@ -65,6 +65,8 @@ class ConvStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     skip_first: bool = False
+    norm: str = "batch"  # "batch" | "none" (ablation/experiments)
+    pool_impl: str = "max"  # "max" | "stride" (ablation: stride = subsample)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -82,18 +84,23 @@ class ConvStack(nn.Module):
                         param_dtype=self.param_dtype,
                         name=f"conv{si}_{ci}",
                     )(x)
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"bn{si}_{ci}",
-                )(x)
+                if self.norm == "batch":
+                    x = nn.BatchNorm(
+                        use_running_average=not train,
+                        momentum=0.9,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"bn{si}_{ci}",
+                    )(x)
                 x = nn.relu(x)
             if stage.pool != (1, 1):
-                x = nn.max_pool(
-                    x, window_shape=stage.pool, strides=stage.pool, padding="SAME"
-                )
+                if self.pool_impl == "stride":
+                    x = x[:, :: stage.pool[0], :: stage.pool[1], :]
+                else:
+                    x = nn.max_pool(
+                        x, window_shape=stage.pool, strides=stage.pool,
+                        padding="SAME",
+                    )
         return x
 
     @property

@@ -50,6 +50,8 @@ class ModelConfig:
     lstm_impl: str = "auto"  # auto | scan | pallas (see models/blstm.py)
     stem_impl: str = "auto"  # auto | plain | fused (ops/stem_pallas.py)
     augment: float = 0.0  # train-time degradation strength (0 = off)
+    conv_norm: str = "batch"  # "batch" | "none" (ablation knob)
+    conv_pool: str = "max"  # "max" | "stride" (ablation knob)
 
     @property
     def width_stride(self) -> int:
@@ -146,7 +148,8 @@ class CnnLstmOcr(nn.Module):
                 preferred_element_type=dtype,
             )
         x = ConvStack(
-            stages=cfg.stages, dtype=dtype, skip_first=True, name="cnn"
+            stages=cfg.stages, dtype=dtype, skip_first=True, name="cnn",
+            norm=cfg.conv_norm, pool_impl=cfg.conv_pool,
         )(x, train=train)
 
         # Width-major sequence: [B, H', T, C] -> [B, T, C*H']

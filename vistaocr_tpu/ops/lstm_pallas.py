@@ -386,8 +386,8 @@ lstm_recurrence_pallas.defvjp(_fwd_rule, _bwd_rule)
 
 
 def lstm_layer_pallas(
-    x: jax.Array,  # [B, T, D]
-    mask: jax.Array,  # [B, T] bool
+    x: jax.Array,  # [B, T, D] (or [T, B, D] when time_major=True)
+    mask: jax.Array,  # [B, T] bool (or [T, B] when time_major=True)
     wx: jax.Array,  # [D, 4H]
     wh: jax.Array,  # [H, 4H]
     b: jax.Array,  # [4H]
@@ -395,25 +395,47 @@ def lstm_layer_pallas(
     reverse: bool = False,
     dtype=jnp.float32,
     interpret: bool = False,
+    time_major: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for models.blstm.lstm_layer backed by the fused
-    kernel. Same contract: [B, T, H] states (in ``dtype``), carry frozen
-    at padding."""
+    kernel. Same contract: states in ``dtype``, carry frozen at padding.
+
+    ``time_major=True`` takes and returns [T, B, *] tensors, letting a
+    stacked caller (models/blstm.BLSTMStack) keep the whole stack
+    time-major and pay the [B,T]<->[T,B] transposes once per STACK
+    instead of twice per layer-direction.
+    """
     # Hoisted input projection (one big MXU matmul), as in the scan path;
-    # accumulate f32, then stream to the kernel in the compute dtype.
-    xw = (
-        jnp.dot(x.astype(dtype), wx.astype(dtype), preferred_element_type=jnp.float32)
-        + b.astype(jnp.float32)
-    ).astype(dtype)
-    xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H]
-    m = jnp.swapaxes(mask, 0, 1).astype(jnp.float32)[:, None, :]  # [T, 1, B]
+    # accumulate f32, then stream to the kernel in the compute dtype. On
+    # TPU the time-major output layout is requested IN the einsum so XLA
+    # emits it from the matmul epilogue instead of a separate transpose
+    # pass over the largest tensor in the layer. (The CPU backend's dot
+    # thunk rejects bf16xbf16->f32 with a transposed output, so the
+    # interpret-mode path keeps plain dot + swapaxes.)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        eq = "tbd,dg->tbg" if time_major else "btd,dg->tbg"
+        xw = jnp.einsum(
+            eq, x.astype(dtype), wx.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        xw = jnp.dot(
+            x.astype(dtype), wx.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if not time_major:
+            xw = jnp.swapaxes(xw, 0, 1)
+    xw = (xw + b.astype(jnp.float32)).astype(dtype)  # [T, B, 4H]
+    m = (mask if time_major else jnp.swapaxes(mask, 0, 1)).astype(
+        jnp.float32)[:, None, :]  # [T, 1, B]
     if reverse:
         xw = jnp.flip(xw, axis=0)
         m = jnp.flip(m, axis=0)
     ys = lstm_recurrence_pallas(xw, m, wh, dtype, interpret)
     if reverse:
         ys = jnp.flip(ys, axis=0)
-    return jnp.swapaxes(ys, 0, 1)
+    return ys if time_major else jnp.swapaxes(ys, 0, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -560,7 +560,15 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     plateau = PlateauController(
         cfg.lr, cfg.plateau_patience, cfg.plateau_decay, cfg.min_lr
     )
-    rng = jax.random.PRNGKey(cfg.seed + 1)
+    # Dropout rng: the rbg impl uses the TPU hardware RNG — threefry mask
+    # generation alone measured 3.5 ms/step at the W=512 bucket
+    # (scripts/profile_ablate.py). CPU keeps threefry (rbg there is slow
+    # and the parity tests pin threefry draws).
+    rng = (
+        jax.random.key(cfg.seed + 1, impl="rbg")
+        if jax.default_backend() in ("tpu", "axon")
+        else jax.random.PRNGKey(cfg.seed + 1)
+    )
     os.makedirs(cfg.snapshot_dir or ".", exist_ok=True)
     metrics_path = os.path.join(cfg.snapshot_dir, "metrics.jsonl")
     metrics_f = open(metrics_path, "a") if cfg.snapshot_dir else None
