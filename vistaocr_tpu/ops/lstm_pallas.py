@@ -412,26 +412,38 @@ def lstm_layer_pallas(
     # pass over the largest tensor in the layer. (The CPU backend's dot
     # thunk rejects bf16xbf16->f32 with a transposed output, so the
     # interpret-mode path keeps plain dot + swapaxes.)
+    #
+    # Reverse direction: time-flip X (and mask) BEFORE the projection —
+    # the flip commutes with the per-frame matmul, and flipping [T,B,D]
+    # moves 4x fewer bytes than flipping xw [T,B,4H] (same for the
+    # cotangent flips in the backward).
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu:
-        eq = "tbd,dg->tbg" if time_major else "btd,dg->tbg"
-        xw = jnp.einsum(
-            eq, x.astype(dtype), wx.astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        xw = jnp.dot(
-            x.astype(dtype), wx.astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        if not time_major:
-            xw = jnp.swapaxes(xw, 0, 1)
-    xw = (xw + b.astype(jnp.float32)).astype(dtype)  # [T, B, 4H]
+    if not time_major:
+        x = jnp.swapaxes(x, 0, 1) if not on_tpu else x
     m = (mask if time_major else jnp.swapaxes(mask, 0, 1)).astype(
         jnp.float32)[:, None, :]  # [T, 1, B]
     if reverse:
-        xw = jnp.flip(xw, axis=0)
         m = jnp.flip(m, axis=0)
+    if on_tpu and not time_major:
+        xr = jnp.flip(x, axis=1) if reverse else x  # [B, T, D]
+        xw = jnp.einsum(
+            "btd,dg->tbg", xr.astype(dtype), wx.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # here x is [T, B, D]
+        xr = jnp.flip(x, axis=0) if reverse else x
+        if on_tpu:
+            xw = jnp.einsum(
+                "tbd,dg->tbg", xr.astype(dtype), wx.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            xw = jnp.dot(
+                xr.astype(dtype), wx.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+    xw = (xw + b.astype(jnp.float32)).astype(dtype)  # [T, B, 4H]
     ys = lstm_recurrence_pallas(xw, m, wh, dtype, interpret)
     if reverse:
         ys = jnp.flip(ys, axis=0)

@@ -52,6 +52,13 @@ class ServiceConfig:
     beam: BeamConfig = dataclasses.field(default_factory=BeamConfig)
     lm_path: Optional[str] = None
     warmup: bool = True
+    # Serving re-buckets the snapshot's ladder onto serve_align-multiples.
+    # Training wants a FINE ladder (padding waste = wasted FLOPs on the
+    # hot path; fit/bench tune align=32), but a fine ladder is wrong for
+    # serving: requests fragment across many rungs, so batches run mostly
+    # padded and every rung is one more compiled graph. 0 keeps the
+    # snapshot's ladder as-is.
+    serve_align: int = 128
 
 
 @dataclasses.dataclass
@@ -78,6 +85,14 @@ class OcrService:
         self.model, self.variables, self.alphabet, self.contract = load_model(
             snapshot
         )
+        if config.serve_align:
+            a = config.serve_align
+            coarse = tuple(sorted({
+                -(-w // a) * a for w in self.contract.bucket_widths
+            }))
+            self.contract = dataclasses.replace(
+                self.contract, bucket_widths=coarse
+            )
         # Snapshots deserialize to HOST numpy arrays; pin them on device
         # once, or every request re-uploads all weights (measured: 6x the
         # whole service pass on the relay-attached chip).

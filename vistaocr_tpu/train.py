@@ -77,6 +77,12 @@ class TrainConfig:
     tiny_model: bool = False  # config #1 scale
     # data
     bucket_widths: Tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+    # Corpus-tuned ladder (data/buckets.make_ladder): replaces
+    # bucket_widths with an align=32 ladder fit to the train corpus's
+    # width histogram (measured ~4% padding waste vs 14.5% for the static
+    # align=128 ladder). Deterministic per corpus, so resume re-derives
+    # the same ladder.
+    auto_ladder: bool = False
     max_label_len: int = 256
     batch_pixels: int = 2**21
     # optimization
@@ -162,11 +168,12 @@ PRESETS = {
         epochs=30,
     ),
     # Full-scale synthetic / IAM-shaped run on TPU.
-    "full": dict(),
+    "full": dict(auto_ladder=True),
     # BASELINE.json config #2/#3: real handwriting (IAM / MADCAT). MADCAT's
     # large alphabet + wide RTL lines want the wider ladder + label budget.
     "handwriting": dict(
         bucket_widths=(256, 384, 512, 768, 1024, 1536, 2048),
+        auto_ladder=True,
         max_label_len=256,
         dropout=0.2,
         epochs=120,
@@ -176,6 +183,7 @@ PRESETS = {
     # glyphs converge faster; decode with beam+LM via infer --decoder beam.
     "printed": dict(
         bucket_widths=(128, 256, 384, 512, 768, 1024),
+        auto_ladder=True,
         dropout=0.1,
         lr=2e-3,
         epochs=60,
@@ -441,6 +449,21 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         val_ds = ShardedLineDataset(cfg.data_dir, "val")
     except KeyError:
         pass
+
+    if cfg.auto_ladder:
+        # Corpus-tuned rungs (C7); on resume the checkpoint's contract wins
+        # below, and re-deriving from the same corpus is deterministic.
+        from .data.buckets import make_ladder
+
+        ladder = make_ladder(
+            train_ds.widths,
+            stride=contract.width_stride,
+            align=32,
+            max_waste=0.03,
+            max_width=max(cfg.bucket_widths),
+        )
+        contract = dataclasses.replace(contract, bucket_widths=ladder)
+        log(f"auto ladder: {ladder}")
 
     resume_dir = os.path.join(cfg.snapshot_dir, "last")
     resuming = cfg.resume and os.path.exists(os.path.join(resume_dir, "meta.json"))
