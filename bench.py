@@ -104,7 +104,12 @@ def main():
     # waste at ~4% (the old align=128 ladder measured 14.5% despite its
     # nominal 6% bound — the bound was below the alignment floor, so the
     # greedy merge kept every rung).
-    ladder = make_ladder(ds.widths, stride=4, align=32, max_waste=0.03)
+    ladder = make_ladder(
+        ds.widths,
+        stride=4,
+        align=int(os.environ.get("BENCH_LADDER_ALIGN", "32")),
+        max_waste=float(os.environ.get("BENCH_MAX_WASTE", "0.03")),
+    )
     _log(f"bucket ladder: {ladder}")
     contract = ShapeContract(bucket_widths=ladder)
     cfg = ModelConfig(
