@@ -189,19 +189,23 @@ def main():
 
         train_epoch = make_train_epoch(model, tx, label_average=False,
                                        grad_clip=5.0)
+        # Stack epochs per dispatch exactly as fit() does (epoch_stack):
+        # the relay's fixed per-program cost is measurable against the
+        # fine ladder's per-bucket row counts.
+        stack = int(os.environ.get("BENCH_EPOCH_STACK", "4"))
         # compile each bucket's epoch program
-        for b_idx, arrays, idx, w in pipe.epoch_plan(0):
+        for b_idx, arrays, idx, w in pipe.epoch_plan(0, stack=stack):
             state, m = train_epoch(state, *arrays, idx, w, lr, rng)
         _force(m["loss"])
         _log("epoch programs compiled")
         lines = 0
         t0 = time.time()
-        epoch = 1
+        epoch = stack
         while lines < TIMED_STEPS * 120:  # comparable work volume
-            for b_idx, arrays, idx, w in pipe.epoch_plan(epoch):
+            for b_idx, arrays, idx, w in pipe.epoch_plan(epoch, stack=stack):
                 state, m = train_epoch(state, *arrays, idx, w, lr, rng)
                 lines += int(idx.shape[0] * idx.shape[1])
-            epoch += 1
+            epoch += stack
         _force(m["loss"])
     else:
         lines = 0

@@ -68,6 +68,25 @@ class TestService:
         finally:
             svc.close()
 
+    def test_serve_align_coarsens_fine_ladders(self, snapshot):
+        """Training ladders are fine (align=32); serving re-buckets onto
+        serve_align multiples so requests don't fragment across rungs
+        (measured 1448 -> 60 lines/s when a 26-rung ladder leaked into
+        the service)."""
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(warmup=False, serve_align=128))
+        try:
+            assert all(w % 128 == 0 for w in svc.contract.bucket_widths)
+            # top rung still covers the snapshot ladder's max width
+            assert svc.contract.bucket_widths[-1] >= 384
+        finally:
+            svc.close()
+        svc = OcrService(snap, ServiceConfig(warmup=False, serve_align=0))
+        try:
+            assert svc.contract.bucket_widths == (128, 256, 384)
+        finally:
+            svc.close()
+
     def test_odd_height_input_normalized(self, snapshot):
         snap, _ = snapshot
         svc = OcrService(snap, ServiceConfig(max_batch=2, warmup=False))

@@ -115,6 +115,9 @@ class TrainConfig:
     # segment shares one bucket (coarser interleaving than per-step
     # shuffle); parity runs can force "off".
     fused_epochs: str = "auto"  # auto | on | off
+    # Fused path: stack this many epochs' index rows per bucket into one
+    # scan dispatch (see DeviceCache.epoch_plan). 1 = per-epoch dispatch.
+    epoch_stack: int = 4
     # Capture a jax.profiler trace for steps [profile_start, profile_stop)
     # into <snapshot_dir>/profile (view with tensorboard-plugin-profile).
     profile_start: int = 0
@@ -710,18 +713,31 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     # the no-max_steps case); the epoch loop just keeps cycling data.
     end_epoch = cfg.epochs if not cfg.max_steps else 10**9
     cur_epoch = start_epoch
-    for epoch in range(start_epoch, end_epoch):
+    epoch = start_epoch
+    while epoch < end_epoch:
         if stop:
             break
         cur_epoch = epoch
+        # Fused path stacks epoch_stack epochs of index rows per bucket
+        # into one plan: fewer, longer fused-scan dispatches (per-program
+        # fixed cost is measurable when a bucket's epoch is a handful of
+        # rows). Validation/snapshot cadence is step-based and segments
+        # still chop at val_interval_steps, so only DATA ORDER coarsens
+        # (bucket-major over the stacked epochs) — the documented fused-
+        # mode tradeoff.
+        stride = (
+            max(1, min(cfg.epoch_stack, end_epoch - epoch)) if use_fused else 1
+        )
         if use_fused:
-            # Fused path: each bucket's epoch is a [nb, B] index matrix;
+            # Each bucket's stacked epochs form one [nb, B] index matrix;
             # run it as lax.scan segments of <= val_interval_steps rows so
             # validation/snapshot cadence survives. Segment shapes repeat
-            # across epochs (bucket membership is fixed), so the compile
-            # set stays bounded at <= 2 programs per bucket.
+            # across epoch groups (bucket membership is fixed), so the
+            # compile set stays bounded at <= 2 programs per bucket.
             seg = max(1, cfg.val_interval_steps)
-            for b_idx, arrays, idx, w in train_pipe.epoch_plan(epoch):
+            for b_idx, arrays, idx, w in train_pipe.epoch_plan(
+                epoch, stack=stride
+            ):
                 if stop:
                     break
                 for k0 in range(0, idx.shape[0], seg):
@@ -778,8 +794,9 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
                 if cfg.max_steps and step >= start_step + cfg.max_steps:
                     stop = True
                     break
+        epoch += stride
         if not stop:
-            cur_epoch = epoch + 1
+            cur_epoch = epoch
             snapshot("last", step, cur_epoch, {})
 
     if profiling:
