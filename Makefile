@@ -12,7 +12,8 @@ test:
 
 test-fast:
 	$(PY) -m pytest tests/ -q --ignore=tests/test_train.py \
-	    --ignore=tests/test_service.py --ignore=tests/test_farsi_e2e.py
+	    --ignore=tests/test_service.py --ignore=tests/test_farsi_e2e.py \
+	    --ignore=tests/test_multihost.py
 
 bench:
 	$(PY) bench.py
