@@ -180,11 +180,19 @@ def beam_decode(
     config: BeamConfig = BeamConfig(),
     lm=None,  # ArpaLM (python path) | NativeLM (C++ path) | None
     valid: Optional[np.ndarray] = None,
+    precomputed_topk=None,  # (vals, ids) from beam_topk, for two-phase callers
 ) -> List[str]:
     """Batch beam decode -> best uxxxx hypothesis per valid sample.
     Device does log-probs + top-k; host expands — through the C++ engine
-    when it is built and the LM (if any) is a NativeLM, else pure Python."""
-    vals, ids = beam_topk(log_probs, min(config.topk, log_probs.shape[-1]))
+    when it is built and the LM (if any) is a NativeLM, else pure Python.
+
+    ``precomputed_topk`` lets a caller dispatch beam_topk for MANY batches
+    up front (device work pipelines asynchronously) and run the host
+    expansion afterwards — see infer.run_inference / serve.ocr_lines."""
+    if precomputed_topk is not None:
+        vals, ids = precomputed_topk
+    else:
+        vals, ids = beam_topk(log_probs, min(config.topk, log_probs.shape[-1]))
     lp = np.asarray(log_probs)
     vals = np.asarray(vals)
     ids = np.asarray(ids)

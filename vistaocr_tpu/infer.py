@@ -17,13 +17,20 @@ import time
 from typing import Optional
 
 import jax
+import numpy as np
 
 from .checkpoint import load_model
 from .data.pipeline import BatchPipeline
 from .data.shards import ShardedLineDataset
-from .decode import greedy_decode
 from .text import cer_wer, uxxxx_to_utf8
 from .train import make_eval_step
+
+
+def _collect_refs(batch, ds, refs, ids):
+    for i, v in zip(batch.indices, batch.valid):
+        if v:
+            refs.append(ds.transcript(int(i)))
+            ids.append(ds[int(i)].id)
 
 
 def run_inference(
@@ -33,6 +40,7 @@ def run_inference(
     *,
     batch_pixels: int = 2**21,
     out_path: Optional[str] = None,
+    eval_align: int = 128,  # re-bucket the snapshot ladder (0 = keep)
     decoder: str = "greedy",  # greedy | beam
     beam_config=None,
     lm_path: Optional[str] = None,
@@ -41,8 +49,23 @@ def run_inference(
     log=print,
 ) -> dict:
     from .decode import BeamConfig, beam_decode, load_lm
+    from .runtime import enable_compile_cache
 
+    enable_compile_cache()
     model, variables, alphabet, contract = load_model(snapshot)
+    if eval_align:
+        # Fine training ladders are wrong for one-shot eval: every rung is
+        # a compiled graph (~25 for an auto-tuned snapshot), and even
+        # persistent-cache loads cost ~1 s/graph on this host. Re-bucket
+        # onto eval_align multiples — same rationale and math as
+        # serve.ServiceConfig.serve_align; CER is unaffected (width masks
+        # carry the true widths).
+        import dataclasses as _dc
+
+        coarse = tuple(sorted({
+            -(-w // eval_align) * eval_align for w in contract.bucket_widths
+        }))
+        contract = _dc.replace(contract, bucket_widths=coarse)
     # Snapshots deserialize to host numpy; pin weights on device once so
     # each batch doesn't re-upload them (serve/service.py has the numbers).
     variables = jax.device_put(variables)
@@ -63,21 +86,49 @@ def run_inference(
 
     hyps, refs, ids = [], [], []
     t0 = time.time()
-    for batch in pipe.device_epoch(0):
-        log_probs, frame_mask = eval_step(
-            variables["params"], variables["batch_stats"],
-            batch.images, batch.widths,
-        )
-        if decoder == "beam":
-            hyps.extend(beam_decode(log_probs, frame_mask, alphabet,
-                                    beam_config, lm=lm, valid=batch.valid))
-        else:
-            hyps.extend(greedy_decode(log_probs, frame_mask, alphabet,
-                                      valid=batch.valid))
-        for i, v in zip(batch.indices, batch.valid):
-            if v:
-                refs.append(ds.transcript(int(i)))
-                ids.append(ds[int(i)].id)
+    # Two-phase, as in serve.OcrService.ocr_lines: dispatch every batch's
+    # DEVICE work first (dispatch is async, so H2D/compute/D2H pipeline
+    # over the interconnect instead of serializing each batch behind the
+    # host decode + relay round-trip), then finalize host-side in order.
+    if decoder == "beam":
+        from .decode.beam import beam_topk
+
+        k = None
+        inflight = []
+        for batch in pipe.device_epoch(0):
+            log_probs, frame_mask = eval_step(
+                variables["params"], variables["batch_stats"],
+                batch.images, batch.widths,
+            )
+            if k is None:
+                k = min(beam_config.topk, log_probs.shape[-1])
+            inflight.append(
+                (batch, log_probs, frame_mask, beam_topk(log_probs, k))
+            )
+        for batch, log_probs, frame_mask, topk in inflight:
+            hyps.extend(beam_decode(
+                log_probs, frame_mask, alphabet, beam_config, lm=lm,
+                valid=batch.valid, precomputed_topk=topk,
+            ))
+            _collect_refs(batch, ds, refs, ids)
+    else:
+        from .decode.greedy import collapse_frames, greedy_frames
+
+        inflight = []
+        for batch in pipe.device_epoch(0):
+            log_probs, frame_mask = eval_step(
+                variables["params"], variables["batch_stats"],
+                batch.images, batch.widths,
+            )
+            inflight.append((batch, greedy_frames(log_probs, frame_mask)))
+        for batch, pre in inflight:
+            frames = np.asarray(pre)
+            hyps.extend(
+                collapse_frames(frames[i], alphabet)
+                for i in range(batch.size)
+                if batch.valid[i]
+            )
+            _collect_refs(batch, ds, refs, ids)
     dt = max(time.time() - t0, 1e-9)
     c, w = cer_wer(hyps, refs)
     report = {
@@ -109,6 +160,9 @@ def main(argv=None):
     p.add_argument("--split", default="test")
     p.add_argument("--out", default=None)
     p.add_argument("--batch-pixels", type=int, default=2**21)
+    p.add_argument("--eval-align", type=int, default=128,
+                   help="re-bucket the snapshot ladder onto this alignment "
+                        "for eval (fewer compiled graphs); 0 keeps it")
     p.add_argument("--decoder", choices=("greedy", "beam"), default="greedy")
     p.add_argument("--lm", default=None, help="ARPA LM path for beam fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
@@ -120,6 +174,7 @@ def main(argv=None):
     run_inference(
         args.snapshot, args.data, args.split,
         batch_pixels=args.batch_pixels, out_path=args.out,
+        eval_align=args.eval_align,
         decoder=args.decoder, lm_path=args.lm,
         lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
     )

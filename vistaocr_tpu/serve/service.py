@@ -81,6 +81,9 @@ class OcrService:
     """In-process batched OCR service over a self-describing snapshot."""
 
     def __init__(self, snapshot: str, config: ServiceConfig = ServiceConfig()):
+        from ..runtime import enable_compile_cache
+
+        enable_compile_cache()
         self.config = config
         self.model, self.variables, self.alphabet, self.contract = load_model(
             snapshot

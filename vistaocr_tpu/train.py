@@ -440,6 +440,9 @@ class PlateauController:
 # --------------------------------------------------------------------------
 def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     """Run training; returns summary dict. Importable for tests/benchmarks."""
+    from .runtime import enable_compile_cache
+
+    enable_compile_cache()
     t_setup = time.time()
     if mesh is None:
         mesh = make_mesh(MeshConfig(model=cfg.mesh_model))
