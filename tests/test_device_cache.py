@@ -62,6 +62,28 @@ class TestDeviceCache:
         with pytest.raises(MemoryError):
             DeviceCache(pipe, max_bytes=1024)
 
+    def test_epoch_plan_stacking_is_concatenation(self, setup):
+        """epoch_plan(e, stack=N) must contain, per bucket, exactly the
+        rows of epoch_plan(e)..epoch_plan(e+N-1) concatenated in epoch
+        order — stacking changes dispatch granularity, never the data."""
+        ds, alpha, contract = setup
+        cache = DeviceCache(BatchPipeline(ds, alpha, contract,
+                                          batch_pixels=32 * 256 * 4, seed=9,
+                                          shuffle=True))
+
+        def rows(plan):
+            return {b: np.asarray(idx) for b, _, idx, _ in plan}
+
+        singles = [rows(cache.epoch_plan(e)) for e in (3, 4, 5)]
+        stacked = rows(cache.epoch_plan(3, stack=3))
+        assert set(stacked) == set(singles[0])
+        for b, idx in stacked.items():
+            expect = np.concatenate([s[b] for s in singles], axis=0)
+            np.testing.assert_array_equal(idx, expect)
+        # weights shape rides along
+        for b, _, idx, w in cache.epoch_plan(3, stack=3):
+            assert w.shape == idx.shape
+
 
 class TestDeviceCacheSharding:
     """The cached path must keep DP alive: gathered batches land
