@@ -24,9 +24,13 @@ Backward: the input is data (no gradient), so only dK is needed — a
 second kernel re-reads (xn, dout) and accumulates [9, CO] reductions in
 VMEM across the batch grid.
 
-Used by models.cnnlstm when ModelConfig.stem_impl resolves to "fused";
-the plain XLA path (ops/preprocess.py + lax.conv) is the oracle
-(tests/test_stem_pallas.py).
+MEASURED-AND-REJECTED: on real v5e the fused stem LOSES to XLA's conv
+(10.0ms vs 5.6ms at B=512 — Mosaic's layout rules force major-axis
+channel stacking and the 9-tap broadcast churns VMEM relayouts; the
+backward trips a Mosaic layout assertion outright). Quarantined here so
+the product package carries only product code; the plain XLA path
+(vistaocr_tpu/ops/preprocess.py + lax.conv) is the oracle
+(experiments/test_stem_pallas.py).
 """
 
 from __future__ import annotations

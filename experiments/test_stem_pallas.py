@@ -1,5 +1,15 @@
-"""Fused input stem (preprocess + conv1) vs the XLA oracle composition:
-values and kernel gradients, interpret mode."""
+"""Parity tests for the quarantined fused-input-stem experiment
+(experiments/stem_pallas.py) vs the XLA oracle composition: values and
+kernel gradients, interpret mode.
+
+Run directly: python -m pytest experiments/test_stem_pallas.py -q
+(Not collected by the product suite; the kernel is measured-and-rejected.)
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
 
 import numpy as np
 import pytest
@@ -8,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from vistaocr_tpu.ops.preprocess import preprocess_images
-from vistaocr_tpu.ops.stem_pallas import fused_stem
+from stem_pallas import fused_stem
 
 
 def _oracle(images, widths, kernel, standardize=True):
@@ -61,42 +71,3 @@ class TestFusedStem:
         o1 = fused_stem(jnp.asarray(img1), widths, k, True, jnp.float32, True)
         o2 = fused_stem(jnp.asarray(img2), widths, k, True, jnp.float32, True)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
-
-    def test_model_consistency_plain_vs_fused_interpret(self):
-        """The full model must produce identical log-probs whichever stem
-        implementation runs (shared parameter, same math)."""
-        from vistaocr_tpu.models import CnnLstmOcr, ModelConfig
-        from vistaocr_tpu.models.cnn import ConvStageSpec
-
-        cfg_kw = dict(
-            num_classes=5,
-            stages=(ConvStageSpec(8, 1, (2, 2)), ConvStageSpec(8, 1, (2, 2)),
-                    ConvStageSpec(8, 1, (2, 1))),
-            bridge_dim=16, lstm_hidden=16, lstm_layers=1, dropout=0.0,
-            lstm_impl="scan",
-        )
-        images = jnp.zeros((2, 32, 64), jnp.uint8).at[0, 10:20, 5:40].set(200)
-        widths = jnp.array([60, 64], jnp.int32)
-
-        m_plain = CnnLstmOcr(ModelConfig(stem_impl="plain", **cfg_kw))
-        variables = m_plain.init_params(jax.random.PRNGKey(0))
-        lp_plain, _ = m_plain.apply(variables, images, widths, train=False)
-
-        # fused path in interpret mode (CPU test env)
-        import vistaocr_tpu.ops.stem_pallas as sp
-        orig = sp.fused_stem
-
-        m_fused = CnnLstmOcr(ModelConfig(stem_impl="fused", **cfg_kw))
-
-        def interp_stem(im, w, k, standardize=True, dtype=jnp.float32,
-                        interpret=False):
-            return orig(im, w, k, standardize, dtype, True)
-
-        sp_fused = sp.fused_stem
-        try:
-            sp.fused_stem = interp_stem
-            lp_fused, _ = m_fused.apply(variables, images, widths, train=False)
-        finally:
-            sp.fused_stem = sp_fused
-        np.testing.assert_allclose(np.asarray(lp_plain), np.asarray(lp_fused),
-                                   atol=1e-5, rtol=1e-5)

@@ -1,11 +1,17 @@
 """Child process for tests/test_multihost.py: joins a 2-process CPU
-jax.distributed cluster (4 virtual devices per process -> 8 global),
-runs ONE sharded train step on the tiny flagship, prints the loss.
+jax.distributed cluster (4 virtual devices per process -> 8 global).
+
+Modes:
+  step (default): one sharded train step on the tiny flagship; prints the
+      loss. The parent asserts both processes print the SAME loss —
+      GSPMD's gradient all-reduce ran across process boundaries.
+  fit <data_dir> <snap_dir>: a short REAL ``train.fit()`` run (epoch
+      plans, validation, plateau lr, snapshots) over a shared corpus +
+      snapshot dir. The parent asserts both processes report the same
+      val CER and that only process 0 wrote snapshots/metrics.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=4 \
-     python multihost_child.py <pid> <nproc> <port>
-(The parent test asserts both processes print the SAME loss — GSPMD's
-gradient all-reduce ran across process boundaries.)
+     python multihost_child.py <pid> <nproc> <port> [fit <data> <snap>]
 """
 
 import sys
@@ -20,6 +26,29 @@ jax.distributed.initialize(
     num_processes=nproc,
     process_id=pid,
 )
+
+if len(sys.argv) > 4 and sys.argv[4] == "fit":
+    from vistaocr_tpu.train import PRESETS, TrainConfig, fit
+
+    data_dir, snap_dir = sys.argv[5], sys.argv[6]
+    cfg = TrainConfig(**{
+        **PRESETS["synth-tiny"],
+        "data_dir": data_dir,
+        "snapshot_dir": snap_dir,
+        "max_steps": 10,
+        "val_interval_steps": 5,
+        "epochs": 1000,
+        "device_cache": "off",
+        "fused_epochs": "off",
+        "log_interval": 5,
+    })
+    summary = fit(cfg, log=lambda *a, **k: None)
+    print(
+        f"MHFIT steps={summary['steps']} "
+        f"cer={summary['last_val_cer']:.6f} pid={jax.process_index()}",
+        flush=True,
+    )
+    sys.exit(0)
 
 import numpy as np
 import jax.numpy as jnp

@@ -220,13 +220,13 @@ class BatchPipeline:
             indices=out_indices,
         )
 
-    def epoch(self, epoch: Optional[int] = None) -> Iterator[Batch]:
-        """Yield all batches for one epoch in shuffled inter-bucket order."""
-        if epoch is None:
-            epoch = self._epoch
-            self._epoch += 1
+    def plan(self, epoch: int) -> List[tuple]:
+        """The exact (bucket_idx, [dataset indices]) batch plan for one
+        epoch — deterministic in (seed, epoch, dataset order), which is
+        what makes multi-host training correct: every process derives the
+        same plan and ships the same global batches."""
         rng = np.random.default_rng((self.seed, epoch))
-        plan: List[tuple] = []  # (bucket_idx, [dataset indices])
+        plan: List[tuple] = []
         for b, members in enumerate(self.bucket_members):
             if not members:
                 continue
@@ -242,7 +242,26 @@ class BatchPipeline:
                 plan.append((b, tail.tolist()))
         if self.shuffle:
             rng.shuffle(plan)
-        for b, idxs in plan:
+        return plan
+
+    def plan_fingerprint(self, epoch: int = 0) -> int:
+        """CRC32 over the epoch plan + batch sizes. Equal across processes
+        iff they will feed identical global batches (train.fit compares
+        fingerprints across the cluster before multi-host training)."""
+        import zlib
+
+        h = zlib.crc32(np.asarray(self.batch_sizes, np.int64).tobytes())
+        for b, idxs in self.plan(epoch):
+            h = zlib.crc32(np.int64(b).tobytes(), h)
+            h = zlib.crc32(np.asarray(idxs, np.int64).tobytes(), h)
+        return h
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Batch]:
+        """Yield all batches for one epoch in shuffled inter-bucket order."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        for b, idxs in self.plan(epoch):
             yield self._assemble(b, idxs, self.batch_sizes[b])
 
     # ---- device prefetch ------------------------------------------------------

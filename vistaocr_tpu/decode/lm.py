@@ -13,8 +13,8 @@ from transcripts and ``write/read`` for the ARPA text format (KenLM-
 compatible subset: \\data\\ header, \\N-grams: sections, log10 probs,
 optional backoff column).
 
-The C++ twin (decode/native) memory-maps a packed binary form of the
-same tables; this Python version is its correctness oracle.
+The C++ twin (decode/native/beam.cpp::load_arpa) parses the same ARPA
+text into hash-map tables; this Python version is its correctness oracle.
 """
 
 from __future__ import annotations

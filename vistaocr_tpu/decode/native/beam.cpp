@@ -12,6 +12,7 @@
 // Build: g++ -O3 -shared -fPIC -std=c++17 beam.cpp -o _native.so
 
 #include <algorithm>
+#include <cassert>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -99,6 +100,10 @@ ArpaLM* load_arpa(const char* path,
   }
   lm->order = static_cast<int>(counts.size());
   if (lm->order == 0) { delete lm; return nullptr; }
+  // lm_hist's fixed history buffer holds order-1 <= 15 tokens; silently
+  // truncating higher orders would diverge from the Python oracle, so
+  // refuse the load (the binding surfaces this as a load error).
+  if (lm->order > 16) { delete lm; return nullptr; }
   lm->tables.resize(lm->order);
 
   std::unordered_map<std::string, int> extra;
@@ -187,6 +192,11 @@ void beam_search_one(
     int beam_width, double prune_logp,
     std::vector<Hypo>& out) {
   const bool use_lm = lm != nullptr && lm_alpha != 0.0;
+
+  // Child keys pack (node id << 21 | token): tokens get 21 bits (checked
+  // below) and node ids the remaining 43 — unreachable (node ids are
+  // ints, < 2^31) but recorded so the invariant is explicit.
+  assert(K < (1 << 21) && "alphabet too large for trie child-key packing");
 
   std::vector<TrieNode> nodes{{-1, -1, 0}};  // node 0 = empty prefix
   std::unordered_map<uint64_t, int> children;  // (node << 21 | tok) -> node

@@ -26,11 +26,20 @@ from .text import cer_wer, uxxxx_to_utf8
 from .train import make_eval_step
 
 
-def _collect_refs(batch, ds, refs, ids):
-    for i, v in zip(batch.indices, batch.valid):
+def _collect_refs(indices, valid, ds, refs, ids):
+    for i, v in zip(indices, valid):
         if v:
             refs.append(ds.transcript(int(i)))
             ids.append(ds[int(i)].id)
+
+
+# Dispatch-ahead window for the two-phase loop below. Each in-flight entry
+# pins its decoded device tensors (and, in beam mode, the batch's [B,T,K]
+# log-probs) in HBM until finalized — unbounded dispatch of a corpus-scale
+# split would grow device memory linearly with split size. 16 batches is
+# deep enough to keep H2D/compute/D2H pipelining over the relay while
+# bounding resident bytes to tens of MB.
+_INFLIGHT_WINDOW = 16
 
 
 def run_inference(
@@ -90,11 +99,21 @@ def run_inference(
     # DEVICE work first (dispatch is async, so H2D/compute/D2H pipeline
     # over the interconnect instead of serializing each batch behind the
     # host decode + relay round-trip), then finalize host-side in order.
+    from collections import deque
+
     if decoder == "beam":
         from .decode.beam import beam_topk
 
+        def finalize(entry):
+            indices, valid, log_probs, frame_mask, topk = entry
+            hyps.extend(beam_decode(
+                log_probs, frame_mask, alphabet, beam_config, lm=lm,
+                valid=valid, precomputed_topk=topk,
+            ))
+            _collect_refs(indices, valid, ds, refs, ids)
+
         k = None
-        inflight = []
+        inflight = deque()
         for batch in pipe.device_epoch(0):
             log_probs, frame_mask = eval_step(
                 variables["params"], variables["batch_stats"],
@@ -102,33 +121,39 @@ def run_inference(
             )
             if k is None:
                 k = min(beam_config.topk, log_probs.shape[-1])
-            inflight.append(
-                (batch, log_probs, frame_mask, beam_topk(log_probs, k))
-            )
-        for batch, log_probs, frame_mask, topk in inflight:
-            hyps.extend(beam_decode(
-                log_probs, frame_mask, alphabet, beam_config, lm=lm,
-                valid=batch.valid, precomputed_topk=topk,
-            ))
-            _collect_refs(batch, ds, refs, ids)
+            # keep only what finalize needs — dropping the batch object
+            # frees its device-resident images as soon as the step retires
+            inflight.append((batch.indices, batch.valid, log_probs,
+                             frame_mask, beam_topk(log_probs, k)))
+            if len(inflight) >= _INFLIGHT_WINDOW:
+                finalize(inflight.popleft())
+        while inflight:
+            finalize(inflight.popleft())
     else:
         from .decode.greedy import collapse_frames, greedy_frames
 
-        inflight = []
+        def finalize(entry):
+            indices, valid, size, pre = entry
+            frames = np.asarray(pre)
+            hyps.extend(
+                collapse_frames(frames[i], alphabet)
+                for i in range(size)
+                if valid[i]
+            )
+            _collect_refs(indices, valid, ds, refs, ids)
+
+        inflight = deque()
         for batch in pipe.device_epoch(0):
             log_probs, frame_mask = eval_step(
                 variables["params"], variables["batch_stats"],
                 batch.images, batch.widths,
             )
-            inflight.append((batch, greedy_frames(log_probs, frame_mask)))
-        for batch, pre in inflight:
-            frames = np.asarray(pre)
-            hyps.extend(
-                collapse_frames(frames[i], alphabet)
-                for i in range(batch.size)
-                if batch.valid[i]
-            )
-            _collect_refs(batch, ds, refs, ids)
+            inflight.append((batch.indices, batch.valid, batch.size,
+                             greedy_frames(log_probs, frame_mask)))
+            if len(inflight) >= _INFLIGHT_WINDOW:
+                finalize(inflight.popleft())
+        while inflight:
+            finalize(inflight.popleft())
     dt = max(time.time() - t0, 1e-9)
     c, w = cer_wer(hyps, refs)
     report = {

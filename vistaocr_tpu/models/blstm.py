@@ -155,12 +155,11 @@ class BLSTMStack(nn.Module):
                                self.param_dtype),
                 )
             if use_pallas:
-                # Two single-direction fused kernels. (The direction-stacked
-                # variant — ops/lstm_pallas.bilstm_layer_pallas, one grid for
-                # both directions — measured SLOWER on chip: 3427 vs 4172
-                # train lines/s/chip; Mosaic lowers the dir-batched
-                # dot_general with costly relayouts. Kept + tested as an
-                # experiment.)
+                # Two single-direction fused kernels. (A direction-stacked
+                # variant — one grid for both directions — measured SLOWER
+                # on chip: 3427 vs 4172 train lines/s/chip; Mosaic lowers
+                # the dir-batched dot_general with costly relayouts. It is
+                # quarantined in experiments/lstm_bi_stacked.py.)
                 from ..ops.lstm_pallas import lstm_layer_pallas
 
                 x = jnp.concatenate(

@@ -48,7 +48,10 @@ class ModelConfig:
     standardize_input: bool = True
     compute_dtype: str = "float32"  # "bfloat16" on TPU
     lstm_impl: str = "auto"  # auto | scan | pallas (see models/blstm.py)
-    stem_impl: str = "auto"  # auto | plain | fused (ops/stem_pallas.py)
+    # "auto"/"plain" only. A fused Pallas stem was measured and REJECTED
+    # (10.0ms vs XLA's 5.6ms at B=512; Mosaic layout limits) — it lives in
+    # experiments/stem_pallas.py. The field stays so old checkpoints load.
+    stem_impl: str = "auto"
     augment: float = 0.0  # train-time degradation strength (0 = off)
     conv_norm: str = "batch"  # "batch" | "none" (ablation knob)
     conv_pool: str = "max"  # "max" | "stride" (ablation knob)
@@ -94,10 +97,9 @@ class CnnLstmOcr(nn.Module):
         cfg = self.config
         dtype = cfg.dtype
 
-        # Input stem: preprocess + first conv (C_in=1 — useless to the MXU,
-        # so the fused Pallas kernel handles it in one pass on TPU; the
-        # plain XLA composition is the oracle path). Both share the same
-        # kernel parameter, so checkpoints are implementation-independent.
+        # Input stem: preprocess + first conv (C_in=1). XLA's conv + fused
+        # elementwise preprocess is the production path; a hand-fused Pallas
+        # stem measured SLOWER and is quarantined in experiments/.
         c0 = cfg.stages[0].channels
         stem_kernel = self.param(
             "stem_kernel",
@@ -105,48 +107,26 @@ class CnnLstmOcr(nn.Module):
             (3, 3, 1, c0),
             jnp.float32,
         )
-        stem = cfg.stem_impl
-        if stem == "auto":
-            # The fused Pallas stem currently LOSES to XLA's conv on real
-            # hardware (measured 10.0ms vs 5.6ms at B=512: Mosaic's layout
-            # rules force major-axis channel stacking, and the 9-tap
-            # broadcast churns VMEM relayouts; its backward trips a Mosaic
-            # layout assertion outright). Kept as an experimental path +
-            # interpret-mode oracle tests; auto resolves to plain until
-            # Mosaic supports minor-dim broadcasts here.
-            stem = "plain"
-        if stem == "fused":
-            if train and cfg.augment > 0:
-                # The fused stem folds preprocess+conv into one kernel and
-                # has no augment hook; silently skipping augment would make
-                # the two documented-as-interchangeable stems train
-                # differently.
-                raise ValueError(
-                    "stem_impl='fused' does not support augment > 0; "
-                    "use stem_impl='plain' (or 'auto') for augmented training"
-                )
-            from ..ops.stem_pallas import fused_stem
+        if cfg.stem_impl not in ("auto", "plain"):
+            raise ValueError(
+                f"stem_impl={cfg.stem_impl!r}: the fused stem was rejected "
+                "on measurement and moved to experiments/stem_pallas.py"
+            )
+        xpre = preprocess_images(
+            images, widths, standardize=cfg.standardize_input, dtype=dtype
+        )
+        if train and cfg.augment > 0:
+            from ..ops.preprocess import augment_images
 
-            x = fused_stem(
-                images, widths, stem_kernel.astype(dtype),
-                cfg.standardize_input, dtype,
+            xpre = augment_images(
+                xpre, widths, self.make_rng("dropout"),
+                strength=cfg.augment,
             )
-        else:
-            xpre = preprocess_images(
-                images, widths, standardize=cfg.standardize_input, dtype=dtype
-            )
-            if train and cfg.augment > 0:
-                from ..ops.preprocess import augment_images
-
-                xpre = augment_images(
-                    xpre, widths, self.make_rng("dropout"),
-                    strength=cfg.augment,
-                )
-            x = jax.lax.conv_general_dilated(
-                xpre, stem_kernel.astype(dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=dtype,
-            )
+        x = jax.lax.conv_general_dilated(
+            xpre, stem_kernel.astype(dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dtype,
+        )
         x = ConvStack(
             stages=cfg.stages, dtype=dtype, skip_first=True, name="cnn",
             norm=cfg.conv_norm, pool_impl=cfg.conv_pool,

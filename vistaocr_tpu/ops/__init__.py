@@ -2,7 +2,6 @@ from .preprocess import preprocess_images, augment_images
 from .ctc import ctc_loss, mean_ctc_loss, resolve_ctc_impl
 from .ctc_pallas import ctc_loss_pallas
 from .lstm_pallas import lstm_layer_pallas, lstm_recurrence_pallas
-from .stem_pallas import fused_stem
 
 __all__ = [
     "preprocess_images",
@@ -13,5 +12,4 @@ __all__ = [
     "ctc_loss_pallas",
     "lstm_layer_pallas",
     "lstm_recurrence_pallas",
-    "fused_stem",
 ]

@@ -45,7 +45,7 @@ from .checkpoint import (
 from .data.buckets import ShapeContract
 from .data.pipeline import BatchPipeline
 from .data.shards import ShardedLineDataset
-from .decode import greedy_decode
+from .decode.greedy import greedy_decode  # noqa: F401 (re-exported for callers)
 from .models import CnnLstmOcr, ModelConfig
 from .models.cnn import ConvStageSpec
 from .ops.ctc import mean_ctc_loss
@@ -117,6 +117,11 @@ class TrainConfig:
     fused_epochs: str = "auto"  # auto | on | off
     # Fused path: stack this many epochs' index rows per bucket into one
     # scan dispatch (see DeviceCache.epoch_plan). 1 = per-epoch dispatch.
+    # RESUME CAVEAT: snapshots taken mid-stack (val cadence) record the
+    # stack's START epoch, so an interrupted run replays up to epoch_stack
+    # epochs of already-seen data on resume (step keeps counting; only
+    # data exposure is duplicated). Snapshot meta records the exact
+    # position ("stack_rows_done"/"stack_epochs") for auditability.
     epoch_stack: int = 4
     # Capture a jax.profiler trace for steps [profile_start, profile_stop)
     # into <snapshot_dir>/profile (view with tensorboard-plugin-profile).
@@ -391,7 +396,16 @@ def evaluate(
     eval_step, params, batch_stats, pipe: BatchPipeline, alphabet: Alphabet,
     sharding=None,
 ) -> Tuple[float, float, float]:
-    """Greedy-decode the whole split; returns (CER, WER, lines/sec)."""
+    """Greedy-decode the whole split; returns (CER, WER, lines/sec).
+
+    Multi-host: every process runs the same collective eval steps (the
+    pipeline plan is deterministic, so batches match), then all-gathers
+    the tiny [B, T] decode tensor so each process computes the SAME
+    CER — keeping PlateauController state identical across the cluster
+    (a diverging lr schedule would desynchronize the collective steps)."""
+    from .decode.greedy import collapse_frames, greedy_frames
+
+    multi = jax.process_count() > 1
     hyps, refs = [], []
     t0 = time.time()
     n = 0
@@ -399,7 +413,17 @@ def evaluate(
         log_probs, frame_mask = eval_step(
             params, batch_stats, batch.images, batch.widths
         )
-        hyps.extend(greedy_decode(log_probs, frame_mask, alphabet, valid=batch.valid))
+        pre = greedy_frames(log_probs, frame_mask)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            pre = multihost_utils.process_allgather(pre, tiled=True)
+        frames = np.asarray(pre)
+        hyps.extend(
+            collapse_frames(frames[i], alphabet)
+            for i in range(batch.size)
+            if batch.valid[i]
+        )
         refs.extend(
             pipe.dataset.transcript(int(i))
             for i, v in zip(batch.indices, batch.valid)
@@ -525,6 +549,22 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     )
     if train_pipe.dropped:
         log(f"warning: {train_pipe.dropped} train lines fit no bucket; dropped")
+    # Multi-host discipline (SURVEY.md §5 distributed row): every process
+    # must derive the SAME epoch plan (same corpus, same seed) or the
+    # collective steps would consume different data. Compare plan
+    # fingerprints across the cluster before training starts.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        fp = np.asarray(
+            train_pipe.plan_fingerprint(start_epoch), np.uint32
+        )
+        fps = np.asarray(multihost_utils.process_allgather(fp))
+        if not (fps == fps[0]).all():
+            raise RuntimeError(
+                f"epoch-plan fingerprint differs across processes: {fps.tolist()} "
+                "— all processes must see the same dataset and seed"
+            )
     val_pipe = (
         BatchPipeline(
             val_ds,
@@ -598,9 +638,15 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         if jax.default_backend() in ("tpu", "axon")
         else jax.random.PRNGKey(cfg.seed + 1)
     )
+    # Only process 0 touches the (possibly shared) filesystem: snapshots,
+    # metrics, best-promotion. Every process still COMPUTES identically
+    # (validation, plateau lr) so the collective schedule stays in sync.
+    is_primary = jax.process_index() == 0
     os.makedirs(cfg.snapshot_dir or ".", exist_ok=True)
     metrics_path = os.path.join(cfg.snapshot_dir, "metrics.jsonl")
-    metrics_f = open(metrics_path, "a") if cfg.snapshot_dir else None
+    metrics_f = (
+        open(metrics_path, "a") if cfg.snapshot_dir and is_primary else None
+    )
 
     def emit(rec: dict):
         if metrics_f:
@@ -609,6 +655,8 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
 
     def snapshot(tag: str, step: int, epoch: int, extra: dict):
         path = os.path.join(cfg.snapshot_dir, tag)
+        if not is_primary:
+            return path
         save_snapshot(
             path,
             variables={
@@ -686,6 +734,11 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         emit(rec)
         window_lines, window_t0 = 0, time.time()
 
+    # Fractional progress within the current stacked epoch plan, recorded
+    # into snapshot meta so an interrupted fused run's duplicate-replay
+    # window (see TrainConfig.epoch_stack) is visible after the fact.
+    stack_progress = {"stack_rows_done": 0, "stack_epochs": 1}
+
     def run_validation(epoch: int):
         nonlocal best_cer, last_val
         c, w, v_lps = evaluate(
@@ -704,13 +757,15 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         }
         log(f"val @ {step}: {rec}")
         emit(rec)
-        snapshot("last", step, epoch, {"val_cer": c, "val_wer": w})
+        snapshot("last", step, epoch,
+                 {"val_cer": c, "val_wer": w, **stack_progress})
         if is_best:
             best_cer = c
-            promote(
-                os.path.join(cfg.snapshot_dir, "last"),
-                os.path.join(cfg.snapshot_dir, "best"),
-            )
+            if is_primary:
+                promote(
+                    os.path.join(cfg.snapshot_dir, "last"),
+                    os.path.join(cfg.snapshot_dir, "best"),
+                )
 
     # max_steps, when set, is the binding limit (epochs then only bounds
     # the no-max_steps case); the epoch loop just keeps cycling data.
@@ -731,6 +786,8 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
         stride = (
             max(1, min(cfg.epoch_stack, end_epoch - epoch)) if use_fused else 1
         )
+        stack_progress["stack_rows_done"] = 0
+        stack_progress["stack_epochs"] = stride
         if use_fused:
             # Each bucket's stacked epochs form one [nb, B] index matrix;
             # run it as lax.scan segments of <= val_interval_steps rows so
@@ -760,6 +817,7 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
                         state, *arrays, idx_k, w_k, lr, rng
                     )
                     step += idx_k.shape[0]
+                    stack_progress["stack_rows_done"] += idx_k.shape[0]
                     window_lines += int(idx_k.shape[0] * idx_k.shape[1])
                     loss_now, gnorm_now = check_divergence(m, epoch)
                     log_window(m, epoch, loss_now, gnorm_now)
