@@ -273,17 +273,63 @@ def main():
         svc.close()
         _log(f"service greedy: {svc_lps:.0f} lines/s/chip")
 
+        # Beam service: the vectorized on-device engine (default). Round 2's
+        # host C++ engine measured 150 lines/s/chip on a 256-line subset;
+        # the device engine decodes the whole batch in parallel on-TPU.
         svc_b = OcrService(
             snap,
             ServiceConfig(max_batch=128, max_wait_ms=2.0, decoder="beam"),
         )
-        sub = imgs[:256]
-        svc_b.ocr_lines(sub)  # untimed warm pass
+        svc_b.ocr_lines(imgs)  # untimed warm pass
         t0 = time.time()
-        res = svc_b.ocr_lines(sub)
+        res = svc_b.ocr_lines(imgs)
         svc_beam_lps = len(res) / (time.time() - t0) / n_chips
         svc_b.close()
-        _log(f"service beam: {svc_beam_lps:.0f} lines/s/chip")
+        _log(f"service beam (device): {svc_beam_lps:.0f} lines/s/chip")
+
+    # Online latency-shaped path (submit() futures + max_wait batching):
+    # N concurrent submitters drive the queues; report lines/s + p50/p99
+    # end-to-end latency. BENCH_SUBMIT=0 skips.
+    submit_stats = {}
+    if (os.environ.get("BENCH_SERVICE", "1") == "1"
+            and os.environ.get("BENCH_SUBMIT", "1") == "1"):
+        import threading
+
+        from vistaocr_tpu.serve import OcrService, ServiceConfig
+
+        for mb in (32, 128):
+            svc_o = OcrService(snap, ServiceConfig(
+                max_batch=mb, max_wait_ms=2.0,
+            ))
+            sub = imgs[:384]
+            svc_o.ocr_lines(sub[:mb])  # warm every touched bucket's graph
+            lat = []
+            lock = threading.Lock()
+
+            def client(shard):
+                fs = [svc_o.submit(img) for img in shard]
+                ls = [f.result(timeout=120).latency_ms for f in fs]
+                with lock:
+                    lat.extend(ls)
+
+            nclients = 8
+            shards = [sub[i::nclients] for i in range(nclients)]
+            t0 = time.time()
+            ths = [threading.Thread(target=client, args=(s,)) for s in shards]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            dt = time.time() - t0
+            import numpy as _np
+
+            submit_stats[f"submit_mb{mb}"] = {
+                "lines_per_sec_per_chip": round(len(sub) / dt / n_chips, 1),
+                "p50_ms": round(float(_np.percentile(lat, 50)), 1),
+                "p99_ms": round(float(_np.percentile(lat, 99)), 1),
+            }
+            svc_o.close()
+            _log(f"submit mb={mb}: {submit_stats[f'submit_mb{mb}']}")
 
     print(json.dumps({
         "metric": "train_lines_per_sec_per_chip",
@@ -299,6 +345,7 @@ def main():
             "compute_dtype": "bfloat16",
             "params_m": round(sum(
                 x.size for x in jax.tree.leaves(variables["params"])) / 1e6, 1),
+            **submit_stats,
         },
     }))
 

@@ -169,3 +169,53 @@ class TestMadcat:
         rec = ds[0]
         assert rec.image.shape[0] == 32
         assert rec.image.min() < 120  # ink present after crop+normalize
+
+
+class TestHandwritingDegradations:
+    """Handwriting-shaped synthetic degradations (configs #2/#3 stand-in):
+    slant, elastic warp, stroke jitter must produce valid images that
+    still differ from the clean rendering."""
+
+    def test_degraded_render_differs_but_valid(self):
+        import numpy as np
+
+        from vistaocr_tpu.data.synth import (
+            HANDWRITING_DEGRADATIONS,
+            SynthConfig,
+            SyntheticLineGenerator,
+        )
+
+        clean = SyntheticLineGenerator(
+            SynthConfig(language="en", min_words=3, max_words=3), seed=4)
+        hand = SyntheticLineGenerator(
+            SynthConfig(language="en", **{**HANDWRITING_DEGRADATIONS,
+                                          "min_words": 3, "max_words": 3}),
+            seed=4)
+        text = clean.sample_text()
+        a = clean.render(text, height=32)
+        b = hand.render(text, height=32)
+        assert a.dtype == b.dtype == np.uint8
+        assert b.shape[0] == 32 and b.shape[1] >= 8
+        # both render ink
+        assert (a < 128).mean() > 0.01 and (b < 128).mean() > 0.01
+        # geometry differs (slant/warp changed pixel positions)
+        wmin = min(a.shape[1], b.shape[1])
+        assert (a[:, :wmin] != b[:, :wmin]).mean() > 0.05
+
+    def test_determinism(self):
+        from vistaocr_tpu.data.synth import (
+            HANDWRITING_DEGRADATIONS,
+            SynthConfig,
+            SyntheticLineGenerator,
+        )
+        import numpy as np
+
+        outs = []
+        for _ in range(2):
+            g = SyntheticLineGenerator(
+                SynthConfig(language="en", **HANDWRITING_DEGRADATIONS),
+                seed=9)
+            img, text = g.sample(height=32, max_width=512)
+            outs.append((img, text))
+        assert outs[0][1] == outs[1][1]
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])

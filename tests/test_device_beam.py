@@ -1,0 +1,179 @@
+"""Vectorized on-device beam search (decode/device_beam.py) vs the
+host prefix-beam oracle (decode/beam.py) — SURVEY.md §4 numerical-oracle
+strategy applied to the batched-service decoder (C14).
+
+The device search implements the SAME pruning rule and candidate set as
+the oracle, so with no LM the decoded strings must match exactly (ties in
+random float logits are measure-zero)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vistaocr_tpu.decode.beam import BeamConfig, prefix_beam_search
+from vistaocr_tpu.decode.device_beam import (
+    beam_scan,
+    backtrace,
+    device_beam_decode,
+    lm_prefix_logp,
+)
+from vistaocr_tpu.text import Alphabet, utf8_to_uxxxx
+
+
+def _alphabet(n_symbols: int) -> Alphabet:
+    # n_symbols distinct characters -> alphabet of n_symbols+1 classes
+    chars = "abcdefghijklmnopqrstuvwxyz"[:n_symbols]
+    return Alphabet.build([utf8_to_uxxxx(chars)])
+
+
+def _random_case(seed, B=6, T=18, K=9, peaky=False):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(0, 3.0 if peaky else 1.0, (B, T, K)).astype(np.float32)
+    if peaky:
+        # bias toward blank + a couple of symbols, CTC-like
+        logits[..., 0] += 2.0
+        sym = rng.integers(1, K, (B,))
+        for b in range(B):
+            logits[b, :, sym[b]] += rng.normal(1.5, 1.0, (T,))
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    frames = rng.integers(3, T + 1, B).astype(np.int32)
+    frames[0] = T
+    mask = np.arange(T)[None, :] < frames[:, None]
+    return lp.astype(np.float32), mask, frames
+
+
+class TestOracleParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    @pytest.mark.parametrize("peaky", [False, True])
+    def test_matches_host_beam_exactly(self, seed, peaky):
+        lp, mask, frames = _random_case(seed, peaky=peaky)
+        K = lp.shape[-1]
+        al = _alphabet(K - 1)
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0)
+
+        got = device_beam_decode(jnp.asarray(lp), jnp.asarray(mask), al, cfg)
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(lp[b, : frames[b]], al, cfg)
+            assert got[b] == hyps[0][0], (
+                f"sample {b}: device={got[b]!r} oracle={hyps[0][0]!r}"
+            )
+
+    def test_top_beam_score_matches_oracle(self):
+        lp, mask, frames = _random_case(7)
+        K = lp.shape[-1]
+        al = _alphabet(K - 1)
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0)
+        totals, parents, tokens = beam_scan(
+            jnp.asarray(lp), jnp.asarray(mask),
+            beam_width=cfg.beam_width, topk=cfg.topk,
+            prune_logp=cfg.prune_logp,
+        )
+        totals = np.asarray(totals)
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(lp[b, : frames[b]], al, cfg)
+            assert math.isclose(
+                float(totals[b].max()), hyps[0][1], rel_tol=0, abs_tol=1e-4
+            )
+
+    def test_all_masked_decodes_empty(self):
+        lp, _, _ = _random_case(11, B=2, T=6)
+        mask = np.zeros(lp.shape[:2], bool)
+        al = _alphabet(lp.shape[-1] - 1)
+        got = device_beam_decode(jnp.asarray(lp), jnp.asarray(mask), al)
+        assert got == ["", ""]
+
+    def test_valid_filter(self):
+        lp, mask, _ = _random_case(12, B=4)
+        al = _alphabet(lp.shape[-1] - 1)
+        valid = np.array([True, False, True, False])
+        got = device_beam_decode(
+            jnp.asarray(lp), jnp.asarray(mask), al, valid=valid
+        )
+        assert len(got) == 2
+
+
+class TestMerging:
+    def test_duplicate_prefixes_merge_mass(self):
+        """A stay-candidate and an extend-candidate producing the same
+        prefix must log-sum-exp, not compete: craft logits where 'a' then
+        ('a' again, no blank) and ('a', blank, 'a') both live."""
+        # K=3: blank, a, b. T=3.
+        lp = np.log(np.array([
+            [[0.1, 0.8, 0.1],
+             [0.4, 0.5, 0.1],
+             [0.1, 0.8, 0.1]],
+        ], np.float32))
+        mask = np.ones((1, 3), bool)
+        al = _alphabet(2)
+        cfg = BeamConfig(beam_width=8, topk=2, prune_logp=-30.0)
+        got = device_beam_decode(jnp.asarray(lp), jnp.asarray(mask), al, cfg)
+        hyps = prefix_beam_search(lp[0], al, cfg)
+        assert got[0] == hyps[0][0]
+        # and the scores agree for the best beam
+        totals, _, _ = beam_scan(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=2,
+            prune_logp=-30.0)
+        assert math.isclose(float(np.asarray(totals)[0].max()), hyps[0][1],
+                            abs_tol=1e-5)
+
+
+class TestBacktrace:
+    def test_backtrace_shapes_and_determinism(self):
+        lp, mask, _ = _random_case(5)
+        totals, parents, tokens = beam_scan(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0)
+        em1 = backtrace(np.asarray(parents), np.asarray(tokens))
+        em2 = backtrace(np.asarray(parents), np.asarray(tokens))
+        assert em1.shape == (lp.shape[1], lp.shape[0], 8)
+        np.testing.assert_array_equal(em1, em2)
+
+
+class TestTwoPassLM:
+    def test_rescoring_picks_lm_favored_final(self):
+        """With a strong LM preferring 'ab' over 'aa', two-pass rescoring
+        must flip the winner when CTC scores are close."""
+        from vistaocr_tpu.decode.lm import train_char_lm
+
+        al = _alphabet(2)  # a, b
+        a, b = utf8_to_uxxxx("a"), utf8_to_uxxxx("b")
+        corpus = [f"{a} {b}"] * 50  # LM strongly favors a->b
+        lm = train_char_lm(corpus, order=2)
+
+        # logits making both 'ab' and 'aa' (blank-separated) plausible,
+        # with 'aa' slightly ahead on pure CTC
+        lp = np.log(np.array([
+            [[0.05, 0.9, 0.05],
+             [0.55, 0.35, 0.10],
+             [0.05, 0.65, 0.30]],
+        ], np.float32))
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        mask = np.ones((1, 3), bool)
+
+        cfg0 = BeamConfig(beam_width=8, topk=2, prune_logp=-30.0)
+        pure = device_beam_decode(jnp.asarray(lp), jnp.asarray(mask), al, cfg0)
+        cfg = BeamConfig(beam_width=8, topk=2, prune_logp=-30.0,
+                         lm_alpha=2.0, lm_beta=0.0)
+        fused = device_beam_decode(
+            jnp.asarray(lp), jnp.asarray(mask), al, cfg, lm=lm
+        )
+        assert pure[0] == f"{a} {a}"
+        assert fused[0] == f"{a} {b}"
+
+    def test_lm_prefix_logp_matches_stateful_walk(self):
+        from vistaocr_tpu.decode.lm import train_char_lm
+
+        al = _alphabet(3)
+        toks = [utf8_to_uxxxx(c) for c in "abc"]
+        corpus = [" ".join(toks)] * 20
+        lm = train_char_lm(corpus, order=3)
+        ids = [al.index_of(t) for t in toks]
+        got = lm_prefix_logp(lm, al, ids)
+        state, ref = lm.start_state(), 0.0
+        for t in toks:
+            lp_, state = lm.score(state, t)
+            ref += lp_
+        assert math.isclose(got, ref, abs_tol=1e-9)

@@ -49,3 +49,21 @@ class TestGoldenParity:
         assert hyps == meta["beam"]
         c, w = cer_wer(hyps, meta["refs"])
         assert c == pytest.approx(meta["beam_cer"], abs=1e-9)
+
+    def test_device_beam_matches_frozen_bundle(self, bundle):
+        """The vectorized on-device beam engine (decode/device_beam.py)
+        must reproduce the SAME frozen outputs as the host oracle — the
+        'golden-bundle beam outputs unchanged' gate for the device
+        engine."""
+        from vistaocr_tpu.decode import device_beam_decode
+
+        data, meta = bundle
+        alphabet = Alphabet.from_json(json.dumps(meta["alphabet"]))
+        lp = data["log_probs"]
+        frames = data["frames"]
+        mask = np.arange(lp.shape[1])[None, :] < frames[:, None]
+        hyps = device_beam_decode(
+            jnp.asarray(lp), jnp.asarray(mask), alphabet,
+            BeamConfig(beam_width=8, topk=6),
+        )
+        assert hyps == meta["beam"]

@@ -96,3 +96,64 @@ class TestService:
             assert isinstance(r.text, str)
         finally:
             svc.close()
+
+    @pytest.mark.parametrize("beam_impl", ["device", "host"])
+    def test_beam_decoder_modes_agree(self, snapshot, beam_impl):
+        """Beam-mode service end to end in both engines; the device
+        (vectorized on-TPU) and host (oracle) engines must produce the
+        same transcripts on a trained model without an LM."""
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(
+            max_batch=8, warmup=False, decoder="beam", beam_impl=beam_impl,
+        ))
+        try:
+            gen = SyntheticLineGenerator(
+                SynthConfig(language="charset", charset="abcdeo ",
+                            min_words=1, max_words=3),
+                seed=123,
+            )
+            pairs = [gen.sample(height=32, max_width=380) for _ in range(8)]
+            results = svc.ocr_lines([img for img, _ in pairs])
+            exact = sum(r.text == text for r, (_, text) in zip(results, pairs))
+            assert exact >= 5, [
+                (r.text, t) for r, (_, t) in zip(results, pairs)
+            ]
+            if not hasattr(TestService, "_beam_texts"):
+                TestService._beam_texts = {}
+            TestService._beam_texts[beam_impl] = [r.text for r in results]
+            if len(TestService._beam_texts) == 2:
+                assert (TestService._beam_texts["device"]
+                        == TestService._beam_texts["host"])
+        finally:
+            svc.close()
+
+    def test_device_resize_matches_host_resize(self, snapshot):
+        """Odd-height requests: the on-device height normalization
+        (ops/resize.py fused into the bucket graph) must transcribe the
+        same as the round-2 host PIL path."""
+        snap, _ = snapshot
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=77,
+        )
+        import numpy as np
+        from PIL import Image
+
+        imgs = []
+        for _ in range(6):
+            img, _t = gen.sample(height=32, max_width=350)
+            h = np.random.default_rng(len(imgs)).integers(20, 60)
+            scaled = np.asarray(Image.fromarray(img).resize(
+                (img.shape[1] * h // 32, int(h)), Image.BILINEAR))
+            imgs.append(scaled)
+
+        out = {}
+        for dev in (True, False):
+            svc = OcrService(snap, ServiceConfig(
+                max_batch=8, warmup=False, device_resize=dev))
+            try:
+                out[dev] = [r.text for r in svc.ocr_lines(imgs)]
+            finally:
+                svc.close()
+        assert out[True] == out[False], out

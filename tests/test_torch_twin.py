@@ -1,0 +1,216 @@
+"""Assembled-model oracle (SURVEY.md §4 numerical-oracles, upgraded from
+per-op to full-model): a torch twin of the flagship CnnLstmOcr built from
+torch.nn primitives (Conv2d/BatchNorm2d/MaxPool2d/LSTM/Linear), loaded
+with the SAME weights, must produce log-probs within 1e-4 and identical
+greedy decodes. This is the closest obtainable stand-in for reference CER
+parity while the reference mount is empty: torch's cuDNN-era semantics
+are exactly what the reference ran on."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from vistaocr_tpu.models import CnnLstmOcr, ModelConfig
+from vistaocr_tpu.models.cnn import ConvStageSpec
+
+
+def _tiny_config(num_classes=11):
+    return ModelConfig(
+        num_classes=num_classes,
+        line_height=32,
+        stages=(ConvStageSpec(16, 1, (2, 2)), ConvStageSpec(32, 1, (2, 2)),
+                ConvStageSpec(32, 1, (2, 1))),
+        bridge_dim=48,
+        lstm_hidden=40,
+        lstm_layers=2,
+        dropout=0.0,
+        compute_dtype="float32",
+        lstm_impl="scan",
+    )
+
+
+def _randomize_batch_stats(variables, seed=5):
+    """Random running stats so eval-mode BatchNorm is non-trivial."""
+    rng = np.random.default_rng(seed)
+
+    def rnd(x):
+        arr = rng.normal(0, 0.5, x.shape).astype(np.float32)
+        if "var" in repr(x.shape):  # unreachable; vars fixed below
+            arr = np.abs(arr)
+        return jnp.asarray(arr)
+
+    bs = jax.tree.map(rnd, variables["batch_stats"])
+
+    # variances must be positive
+    def fix_var(path, x):
+        name = "/".join(str(p) for p in path)
+        if "var" in name:
+            return jnp.abs(x) + 0.5
+        return x
+
+    bs = jax.tree_util.tree_map_with_path(fix_var, bs)
+    return {**variables, "batch_stats": bs}
+
+
+class TorchTwin(torch.nn.Module):
+    """torch rebuild of CnnLstmOcr (eval mode) from a flax param tree."""
+
+    def __init__(self, cfg: ModelConfig, params, batch_stats):
+        super().__init__()
+        p = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+        bs = jax.tree.map(lambda x: np.asarray(x, np.float32), batch_stats)
+
+        def conv_from(kernel):  # HWIO -> torch OIHW
+            c = torch.nn.Conv2d(kernel.shape[2], kernel.shape[3], 3,
+                                padding=1, bias=False)
+            c.weight.data = torch.from_numpy(
+                kernel.transpose(3, 2, 0, 1).copy())
+            return c
+
+        def bn_from(name):
+            scale = p["cnn"][name]["scale"]
+            bias = p["cnn"][name]["bias"]
+            mean = bs["cnn"][name]["mean"]
+            var = bs["cnn"][name]["var"]
+            b = torch.nn.BatchNorm2d(scale.shape[0], eps=1e-5)
+            b.weight.data = torch.from_numpy(scale.copy())
+            b.bias.data = torch.from_numpy(bias.copy())
+            b.running_mean.data = torch.from_numpy(mean.copy())
+            b.running_var.data = torch.from_numpy(var.copy())
+            return b
+
+        self.cfg = cfg
+        layers = [conv_from(p["stem_kernel"])]
+        post = []  # (bn, pool) sequence mirrors ConvStack
+        stages = cfg.stages
+        seq = []
+        for si, st in enumerate(stages):
+            for ci in range(st.num_convs):
+                if not (si == 0 and ci == 0):
+                    seq.append(conv_from(p["cnn"][f"conv{si}_{ci}"]["kernel"]))
+                seq.append(bn_from(f"bn{si}_{ci}"))
+                seq.append(torch.nn.ReLU())
+            if st.pool != (1, 1):
+                seq.append(torch.nn.MaxPool2d(st.pool, st.pool))
+        self.features = torch.nn.Sequential(*layers, *seq)
+
+        bd = p["bridge"]
+        self.bridge = torch.nn.Linear(bd["kernel"].shape[0],
+                                      bd["kernel"].shape[1])
+        self.bridge.weight.data = torch.from_numpy(bd["kernel"].T.copy())
+        self.bridge.bias.data = torch.from_numpy(bd["bias"].copy())
+
+        bl = p["blstm"]
+        d_in = cfg.bridge_dim
+        self.lstms = torch.nn.ModuleList()
+        for layer in range(cfg.lstm_layers):
+            lstm = torch.nn.LSTM(
+                d_in, cfg.lstm_hidden, num_layers=1, bidirectional=True,
+                batch_first=True,
+            )
+            for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+                wx = bl[f"l{layer}_{direction}_wx"]  # [D, 4H]
+                wh = bl[f"l{layer}_{direction}_wh"]  # [H, 4H]
+                b = bl[f"l{layer}_{direction}_b"]  # [4H]
+                getattr(lstm, f"weight_ih_l0{suffix}").data = (
+                    torch.from_numpy(wx.T.copy()))
+                getattr(lstm, f"weight_hh_l0{suffix}").data = (
+                    torch.from_numpy(wh.T.copy()))
+                getattr(lstm, f"bias_ih_l0{suffix}").data = (
+                    torch.from_numpy(b.copy()))
+                getattr(lstm, f"bias_hh_l0{suffix}").data = (
+                    torch.zeros(b.shape[0]))
+            self.lstms.append(lstm)
+            d_in = 2 * cfg.lstm_hidden
+
+        hd = p["head"]
+        self.head = torch.nn.Linear(hd["kernel"].shape[0],
+                                    hd["kernel"].shape[1])
+        self.head.weight.data = torch.from_numpy(hd["kernel"].T.copy())
+        self.head.bias.data = torch.from_numpy(hd["bias"].copy())
+
+    @torch.no_grad()
+    def forward(self, images_u8: np.ndarray) -> np.ndarray:
+        """Full-width uint8 [B, H, W] -> log-probs [B, T, K]."""
+        x = torch.from_numpy(images_u8.astype(np.float32))
+        x = (255.0 - x) / 255.0  # polarity, as ops/preprocess.py
+        mean = x.mean(dim=(1, 2), keepdim=True)
+        var = x.var(dim=(1, 2), keepdim=True, unbiased=False)
+        x = (x - mean) / torch.sqrt(var + 1e-6)
+        x = x[:, None, :, :]  # NCHW
+        x = self.features(x)  # [B, C, H', W']
+        x = x.permute(0, 3, 2, 1)  # [B, W', H', C]
+        b, t, hp, c = x.shape
+        x = x.reshape(b, t, hp * c)
+        x = torch.relu(self.bridge(x))
+        for lstm in self.lstms:
+            x, _ = lstm(x)
+        logits = self.head(x)
+        return torch.log_softmax(logits, dim=-1).numpy()
+
+
+class TestFullModelTorchParity:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = _tiny_config()
+        model = CnnLstmOcr(cfg)
+        variables = model.init_params(jax.random.PRNGKey(42), batch=2,
+                                      width=64)
+        variables = _randomize_batch_stats(variables)
+        twin = TorchTwin(cfg, variables["params"], variables["batch_stats"])
+        twin.eval()
+        return cfg, model, variables, twin
+
+    def test_log_prob_parity(self, setup):
+        cfg, model, variables, twin = setup
+        rng = np.random.default_rng(0)
+        # full-width batch (width masking is covered per-op; this is the
+        # assembled-graph check)
+        images = rng.integers(0, 256, (4, 32, 96), np.uint8)
+        widths = jnp.full((4,), 96, jnp.int32)
+
+        lp_jax, fm = model.apply(variables, jnp.asarray(images), widths,
+                                 train=False)
+        lp_torch = twin.forward(images)
+
+        assert lp_torch.shape == lp_jax.shape
+        assert bool(np.asarray(fm).all())
+        diff = np.abs(np.asarray(lp_jax) - lp_torch).max()
+        assert diff <= 1e-4, f"full-model log-prob drift {diff:.2e}"
+
+    def test_greedy_decodes_identical(self, setup):
+        cfg, model, variables, twin = setup
+        from vistaocr_tpu.decode.greedy import collapse_frames, greedy_frames
+        from vistaocr_tpu.text import Alphabet, utf8_to_uxxxx
+
+        al = Alphabet.build([utf8_to_uxxxx("abcdefghij")])
+        assert al.num_classes == cfg.num_classes
+        rng = np.random.default_rng(1)
+        images = rng.integers(0, 256, (6, 32, 128), np.uint8)
+        widths = jnp.full((6,), 128, jnp.int32)
+
+        lp_jax, fm = model.apply(variables, jnp.asarray(images), widths,
+                                 train=False)
+        lp_torch = twin.forward(images)
+
+        ours = [
+            collapse_frames(f, al)
+            for f in np.asarray(greedy_frames(lp_jax, fm))
+        ]
+        mask_t = torch.ones(lp_torch.shape[:2], dtype=torch.bool)
+        best = lp_torch.argmax(-1)
+        theirs = []
+        for b in range(best.shape[0]):
+            prev, out = 0, []
+            for t in range(best.shape[1]):
+                v = int(best[b, t])
+                if v != 0 and v != prev:
+                    out.append(v)
+                prev = v
+            theirs.append(al.decode(out))
+        del mask_t
+        assert ours == theirs

@@ -298,6 +298,20 @@ class BatchPipeline:
                 indices=batch.indices,
             )
 
+        if jax.process_count() > 1:
+            # Multi-host: device_put with a cross-process sharding behaves
+            # like a collective-ordered transfer — every process must issue
+            # the same transfers in the same order. A background producer
+            # thread interleaves nondeterministically with OTHER pipelines'
+            # producers (train + val both streaming), which deadlocks
+            # (observed: 2-process fit() hang with all producers blocked
+            # inside device_put). Synchronous iteration keeps each
+            # process's transfer order identical; prefetch overlap is a
+            # single-host luxury.
+            for batch in self.epoch(epoch):
+                yield put(batch)
+            return
+
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         sentinel = object()
         err: List[BaseException] = []

@@ -89,7 +89,28 @@ class SynthConfig:
     noise: float = 0.0  # gaussian pixel noise stddev (0-1 scale)
     blur_prob: float = 0.0
     rotate_max_deg: float = 0.0
+    # Handwriting-shaped degradations (configs #2/#3 stand-in: the env has
+    # no real IAM/MADCAT corpora, so the handwriting preset is exercised
+    # on synthetic lines with cursive-like geometry). All prep-time
+    # PIL/numpy; see HANDWRITING_DEGRADATIONS below for the tuned set.
+    shear_max: float = 0.0  # horizontal slant: x' = x + s*y, s ~ U[-max,max]
+    elastic_alpha: float = 0.0  # grid-warp displacement amplitude (px)
+    stroke_jitter: float = 0.0  # prob of 3x3 min/max filter (thicken/thin)
     fonts: Sequence[str] = field(default_factory=_find_fonts)
+
+
+# Tuned handwriting-like degradation knobs (used by the corpus-scale
+# handwriting-preset run; see docs/design.md quality table).
+HANDWRITING_DEGRADATIONS = dict(
+    shear_max=0.35,
+    elastic_alpha=2.5,
+    stroke_jitter=0.6,
+    rotate_max_deg=1.5,
+    noise=0.03,
+    blur_prob=0.3,
+    min_words=3,
+    max_words=10,
+)
 
 
 def _font_cmap(path: str):
@@ -165,6 +186,32 @@ class SyntheticLineGenerator:
         img = Image.new("L", (w + 2 * pad, h + 2 * pad), 255)
         ImageDraw.Draw(img).text((pad - bbox[0], pad - bbox[1]), text, font=font, fill=0)
 
+        if cfg.shear_max > 0:
+            # Slant: output (x, y) samples input (x + s*y + c, y); c keeps
+            # the sheared content inside the widened frame for either sign.
+            s = float(rng.uniform(-cfg.shear_max, cfg.shear_max))
+            w0, h0 = img.size
+            c = -max(s, 0.0) * h0
+            img = img.transform(
+                (w0 + int(abs(s) * h0) + 1, h0), Image.AFFINE,
+                (1.0, s, c, 0.0, 1.0, 0.0),
+                resample=Image.BILINEAR, fillcolor=255,
+            )
+
+        if cfg.elastic_alpha > 0:
+            img = Image.fromarray(self._elastic_warp(
+                np.asarray(img, np.float32), cfg.elastic_alpha
+            ))
+
+        if cfg.stroke_jitter > 0 and rng.uniform() < cfg.stroke_jitter:
+            from PIL import ImageFilter
+
+            # dark-on-light: MinFilter thickens strokes, MaxFilter thins
+            img = img.filter(
+                ImageFilter.MinFilter(3) if rng.uniform() < 0.5
+                else ImageFilter.MaxFilter(3)
+            )
+
         if cfg.rotate_max_deg > 0:
             angle = float(rng.uniform(-cfg.rotate_max_deg, cfg.rotate_max_deg))
             img = img.rotate(angle, resample=Image.BILINEAR, expand=True, fillcolor=255)
@@ -182,6 +229,43 @@ class SyntheticLineGenerator:
             noise = rng.normal(0.0, cfg.noise * 255.0, arr.shape)
             arr = np.clip(arr.astype(np.float32) + noise, 0, 255).astype(np.uint8)
         return arr
+
+    def _elastic_warp(self, arr: np.ndarray, alpha: float) -> np.ndarray:
+        """Grid-distortion elastic warp: random offsets on a coarse grid,
+        bilinearly upsampled to a smooth displacement field, then bilinear
+        backward sampling. numpy-only (no scipy in this environment)."""
+        rng = self.rng
+        h0, w0 = arr.shape
+        gh, gw = max(2, h0 // 12), max(2, w0 // 24)
+        fields = []
+        for _ in range(2):
+            coarse = rng.uniform(-1.0, 1.0, (gh, gw)).astype(np.float32)
+            fields.append(np.asarray(
+                Image.fromarray(coarse * alpha, mode="F").resize(
+                    (w0, h0), Image.BILINEAR
+                )
+            ))
+        dx, dy = fields
+        ys, xs = np.meshgrid(
+            np.arange(h0, dtype=np.float32),
+            np.arange(w0, dtype=np.float32),
+            indexing="ij",
+        )
+        sx = np.clip(xs + dx, 0, w0 - 1)
+        sy = np.clip(ys + dy, 0, h0 - 1)
+        x0 = np.floor(sx).astype(np.int32)
+        y0 = np.floor(sy).astype(np.int32)
+        x1 = np.minimum(x0 + 1, w0 - 1)
+        y1 = np.minimum(y0 + 1, h0 - 1)
+        fx = sx - x0
+        fy = sy - y0
+        out = (
+            arr[y0, x0] * (1 - fx) * (1 - fy)
+            + arr[y0, x1] * fx * (1 - fy)
+            + arr[y1, x0] * (1 - fx) * fy
+            + arr[y1, x1] * fx * fy
+        )
+        return np.clip(out, 0, 255).astype(np.uint8)
 
     def sample(self, height: int, max_width: Optional[int] = None):
         text = self.sample_text()
@@ -237,15 +321,21 @@ def main(argv=None):
     p.add_argument("--noise", type=float, default=0.0)
     p.add_argument("--blur-prob", type=float, default=0.0)
     p.add_argument("--rotate-max-deg", type=float, default=0.0)
+    p.add_argument("--handwriting", action="store_true",
+                   help="apply the tuned handwriting-shaped degradation "
+                        "set (slant + elastic warp + stroke jitter + noise)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    cfg = SynthConfig(
+    kw = dict(
         language=args.language,
         charset=args.charset,
         noise=args.noise,
         blur_prob=args.blur_prob,
         rotate_max_deg=args.rotate_max_deg,
     )
+    if args.handwriting:
+        kw.update(HANDWRITING_DEGRADATIONS)
+    cfg = SynthConfig(**kw)
     build_synthetic_dataset(
         args.out,
         num_train=args.num_train,

@@ -1,0 +1,286 @@
+"""Vectorized ON-DEVICE CTC prefix beam search — the batched-service half
+of component C14 (SURVEY.md §2 C14 rebuild column: "vectorized on-device
+beam pruning for the batched service"; BASELINE.json config #5: fused
+preprocess + model + beam decode).
+
+The host prefix beam (decode/beam.py + the C++ twin) expands beams one
+line at a time on the single host core — measured 150 lines/s/chip in
+the round-2 service bench vs 1132 greedy. Here the ENTIRE search runs as
+one ``lax.scan`` over frames on ``[B, W]``-shaped beam state, so every
+line in the batch decodes in parallel on the TPU and the host does only
+an O(T) numpy backtrace per line.
+
+Algorithm (same math as decode/beam.prefix_beam_search, vectorized):
+
+- beam state per line = W slots of (prefix-hash pair, last token,
+  log P(ends-in-blank), log P(ends-in-non-blank));
+- per frame, each slot emits 1 "stay" candidate (blank extension + the
+  same-symbol repeat mass) and k "extend" candidates (the frame's
+  device top-k symbols, pruned by ``prune_logp`` against the frame
+  best) — a [B, W*(k+1)] candidate pool;
+- candidates with EQUAL PREFIXES must merge (log-sum-exp) exactly as the
+  oracle's dict merge does. Two structural facts make this cheap: beam
+  slots hold DISTINCT prefixes (the merge invariant), so (1) two stay
+  candidates never merge, and (2) two extend candidates never merge
+  either — equal-length distinct prefixes stay distinct under extension,
+  and different-length extensions have different lengths. The only merge
+  is extend(p, c) onto a beam already holding p+c: a [W*k, W] hash-pair
+  comparison (at most one match per side), folded with log-add-exp — no
+  sort, no segment ops. Prefix identity is a pair of independent 32-bit
+  rolling hashes (collision odds ~1e-15 per frame);
+- ``top_k`` by total probability keeps W slots; the per-frame
+  (parent slot, emitted token) pair is recorded so the host can
+  reconstruct prefixes by backtracking — the device never materializes
+  variable-length prefixes.
+
+Hash-collision risk: two 32-bit hashes over a ≤200-candidate pool give a
+per-frame false-merge probability of ~200²/2⁶⁴ ≈ 2e-15 — irrelevant.
+
+LM fusion is a second pass (standard two-pass decoding): the device beam
+returns the top-W finals per line with exact CTC scores, and the host
+rescores those W prefixes with the n-gram LM (W·L queries per line
+instead of the interleaved search's T·W·k). Interleaved fusion can in
+principle keep an LM-favored prefix that CTC alone prunes below rank W;
+the corpus-scale Farsi run measures the gap (docs/design.md) — CER
+parity within noise at the service's beam width.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..text import Alphabet
+from .beam import BeamConfig
+
+# Independent odd multipliers for the two rolling prefix hashes.
+_M1 = np.uint32(1000003)
+_M2 = np.uint32(2654435761)
+_SEED1 = np.uint32(0x9E3779B9)
+_SEED2 = np.uint32(0x85EBCA6B)
+
+
+def beam_scan(
+    log_probs: jax.Array,  # [B, T, K] f32
+    frame_mask: jax.Array,  # [B, T] bool
+    *,
+    beam_width: int,
+    topk: int,
+    prune_logp: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Traceable device beam search (compose under jit with the forward
+    pass). Returns (totals [B, W] f32 final log P per beam slot,
+    parents [T, B, W] int32, tokens [T, B, W] int32; token 0 = none)."""
+    B, T, K = log_probs.shape
+    W = beam_width
+    k = min(topk, K - 1)
+    neg = jnp.float32(-jnp.inf)
+
+    # Per-frame symbol candidates: top-k over NON-blank classes (ids >= 1),
+    # matching the oracle's candidate set; blank handled separately.
+    vals, ids = jax.lax.top_k(log_probs[..., 1:], k)
+    ids = (ids + 1).astype(jnp.int32)
+    # time-major scan inputs
+    vals_t = jnp.swapaxes(vals, 0, 1)  # [T, B, k]
+    ids_t = jnp.swapaxes(ids, 0, 1)  # [T, B, k]
+    pblank_t = jnp.swapaxes(log_probs[..., 0], 0, 1)  # [T, B]
+    mask_t = jnp.swapaxes(frame_mask, 0, 1)  # [T, B]
+
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    # Slot 0 = empty prefix (P(blank-ending) = 1); slots 1.. inactive with
+    # distinct hash pairs so they can never merge with live prefixes.
+    h1_0 = jnp.broadcast_to(
+        jnp.where(iota_w == 0, _SEED1, iota_w.astype(jnp.uint32)), (B, W))
+    h2_0 = jnp.broadcast_to(
+        jnp.where(iota_w == 0, _SEED2, iota_w.astype(jnp.uint32) + 7777),
+        (B, W))
+    last_0 = jnp.full((B, W), -1, jnp.int32)
+    p_b0 = jnp.broadcast_to(jnp.where(iota_w == 0, 0.0, neg), (B, W))
+    p_nb0 = jnp.full((B, W), neg)
+
+    def body(carry, inp):
+        h1, h2, last, p_b, p_nb = carry
+        v, i, pb, m = inp  # [B,k] [B,k] [B] [B]
+        p_tot = jnp.logaddexp(p_b, p_nb)  # [B, W]
+        frame_best = jnp.maximum(v[:, 0], pb)  # [B]
+        allowed = v >= frame_best[:, None] + prune_logp  # [B, k]
+
+        # stay candidates: blank extension + same-symbol repeat mass.
+        stay_pb = p_tot + pb[:, None]  # blank is never pruned
+        match = (i[:, None, :] == last[:, :, None]) & allowed[:, None, :]
+        rep = jnp.where(match, v[:, None, :], neg).max(axis=-1)  # [B, W]
+        stay_pnb = p_nb + rep
+
+        # extend candidates [B, W, k]: prefix + c. A repeat symbol extends
+        # from the blank-ending mass only (blank-separated repeat).
+        c = jnp.broadcast_to(i[:, None, :], (B, W, k))
+        pc = jnp.broadcast_to(v[:, None, :], (B, W, k))
+        is_rep = c == last[:, :, None]
+        src = jnp.where(is_rep, p_b[:, :, None], p_tot[:, :, None])
+        ext_pnb = jnp.where(allowed[:, None, :], src + pc, neg)
+        cu = c.astype(jnp.uint32) + 1
+        ext_h1 = h1[:, :, None] * _M1 + cu
+        ext_h2 = h2[:, :, None] * _M2 + cu * jnp.uint32(0x27D4EB2F)
+
+        # merge: an extend candidate ext(p, c) coincides with a beam slot
+        # already holding p+c (and with nothing else — see module doc).
+        # Compare every extend hash against every stay hash: at most one
+        # match per side, so the merge is a masked max + one log-add-exp.
+        def flat(a):
+            return a.reshape(B, W * k)
+
+        eh1, eh2, epnb = flat(ext_h1), flat(ext_h2), flat(ext_pnb)
+        m_ext = (
+            (eh1[:, :, None] == h1[:, None, :])
+            & (eh2[:, :, None] == h2[:, None, :])
+        )  # [B, W*k, W]: ext e coincides with stay slot w'
+        into_stay = jnp.where(
+            m_ext, epnb[:, :, None], neg
+        ).max(axis=1)  # [B, W] (<=1 contributor)
+        stay_pnb = jnp.logaddexp(stay_pnb, into_stay)
+        dead = m_ext.any(axis=2)  # [B, W*k] ext candidates absorbed
+        epnb = jnp.where(dead, neg, epnb)
+
+        pool_pb = jnp.concatenate([stay_pb, jnp.full((B, W * k), neg)], axis=1)
+        pool_pnb = jnp.concatenate([stay_pnb, epnb], axis=1)
+        total = jnp.logaddexp(pool_pb, pool_pnb)
+
+        _, sel = jax.lax.top_k(total, W)  # [B, W] pool positions
+        take = functools.partial(jnp.take_along_axis, indices=sel, axis=1)
+
+        parent_w = jnp.broadcast_to(iota_w[None, :, None], (B, W, k))
+        pool_h1 = jnp.concatenate([h1, eh1], axis=1)
+        pool_h2 = jnp.concatenate([h2, eh2], axis=1)
+        pool_last = jnp.concatenate([last, flat(c)], axis=1)
+        pool_parent = jnp.concatenate(
+            [jnp.broadcast_to(iota_w[None, :], (B, W)), flat(parent_w)], axis=1)
+        pool_token = jnp.concatenate(
+            [jnp.zeros((B, W), jnp.int32), flat(c)], axis=1)
+
+        n_h1, n_h2 = take(pool_h1), take(pool_h2)
+        n_last = take(pool_last)
+        n_pb, n_pnb = take(pool_pb), take(pool_pnb)
+        n_parent, n_token = take(pool_parent), take(pool_token)
+
+        # invalid frames are identity: state passes through, nothing emits
+        mw = m[:, None]
+        h1 = jnp.where(mw, n_h1, h1)
+        h2 = jnp.where(mw, n_h2, h2)
+        last = jnp.where(mw, n_last, last)
+        p_b = jnp.where(mw, n_pb, p_b)
+        p_nb = jnp.where(mw, n_pnb, p_nb)
+        parent = jnp.where(mw, n_parent, jnp.broadcast_to(iota_w[None], (B, W)))
+        token = jnp.where(mw, n_token, 0)
+        return (h1, h2, last, p_b, p_nb), (parent, token)
+
+    carry, (parents, tokens) = jax.lax.scan(
+        body, (h1_0, h2_0, last_0, p_b0, p_nb0),
+        (vals_t, ids_t, pblank_t, mask_t),
+    )
+    _, _, _, p_b, p_nb = carry
+    return jnp.logaddexp(p_b, p_nb), parents, tokens
+
+
+@functools.lru_cache(maxsize=None)
+def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float):
+    return jax.jit(functools.partial(
+        beam_scan, beam_width=beam_width, topk=topk, prune_logp=prune_logp,
+    ))
+
+
+def beam_scan_program(config: BeamConfig):
+    """Jitted ``beam_scan`` for a config — for callers that dispatch the
+    search separately from the forward pass (infer's two-phase loop)."""
+    return _beam_scan_jit(config.beam_width, config.topk,
+                          float(config.prune_logp))
+
+
+def backtrace(
+    parents: np.ndarray,  # [T, B, W]
+    tokens: np.ndarray,  # [T, B, W]
+) -> np.ndarray:
+    """Reconstruct every beam slot's emitted-token sequence: [T, B, W]
+    int32 where entry t is the token slot w's prefix gained at frame t
+    (0 = none). numpy-vectorized over (B, W); O(T) python steps."""
+    T, B, W = parents.shape
+    emitted = np.zeros((T, B, W), np.int32)
+    cur = np.broadcast_to(np.arange(W, dtype=np.int64), (B, W)).copy()
+    rows = np.arange(B)[:, None]
+    for t in range(T - 1, -1, -1):
+        emitted[t] = tokens[t][rows, cur]
+        cur = parents[t][rows, cur]
+    return emitted
+
+
+def lm_prefix_logp(lm, alphabet: Alphabet, ids: Sequence[int]) -> float:
+    """Cumulative LM log-prob of a decoded prefix, with the same <s>-rooted
+    history as the interleaved oracle scoring (decode/beam.py)."""
+    if hasattr(lm, "score"):  # python ArpaLM
+        state = lm.start_state()
+        total = 0.0
+        for i in ids:
+            lp, state = lm.score(state, alphabet.token_of(int(i)))
+            total += lp
+        return total
+    # NativeLM: stateless queries; -1 is the native <s> sentinel and the
+    # C side truncates history to order-1.
+    total = 0.0
+    hist = [-1]
+    for i in ids:
+        total += lm.logp(hist, int(i))
+        hist.append(int(i))
+    return total
+
+
+def device_beam_decode(
+    log_probs: Optional[jax.Array],  # [B, T, K]; None with precomputed
+    frame_mask: Optional[jax.Array],  # [B, T]; None with precomputed
+    alphabet: Alphabet,
+    config: BeamConfig = BeamConfig(),
+    lm=None,
+    valid: Optional[np.ndarray] = None,
+    precomputed=None,  # (totals, parents, tokens) from beam_scan
+) -> List[str]:
+    """Batch beam decode via the device search -> best uxxxx per valid
+    sample. With an LM, the device returns top-W finals and the host
+    rescores them (two-pass fusion). ``precomputed`` lets a caller fuse
+    ``beam_scan`` into its own jitted program (serve) or dispatch many
+    batches ahead (infer) — log_probs/frame_mask are unused then."""
+    if precomputed is not None:
+        totals, parents, tokens = precomputed
+    else:
+        fn = _beam_scan_jit(config.beam_width, config.topk,
+                            float(config.prune_logp))
+        totals, parents, tokens = fn(log_probs, frame_mask)
+    totals = np.asarray(totals)  # [B, W]
+    emitted = backtrace(np.asarray(parents), np.asarray(tokens))  # [T, B, W]
+
+    B, W = totals.shape
+    use_lm = lm is not None and config.lm_alpha != 0.0
+    out: List[str] = []
+    for b in range(B):
+        if valid is not None and not valid[b]:
+            continue
+        if not use_lm:
+            w = int(np.argmax(totals[b]))
+            col = emitted[:, b, w]
+            out.append(alphabet.decode(col[col != 0].tolist()))
+            continue
+        best, best_score = "", -np.inf
+        order = np.argsort(-totals[b])
+        for w in order:
+            ctc = float(totals[b, w])
+            if ctc == -np.inf:
+                break
+            col = emitted[:, b, int(w)]
+            ids = col[col != 0].tolist()
+            score = (ctc + config.lm_alpha * lm_prefix_logp(lm, alphabet, ids)
+                     + config.lm_beta * len(ids))
+            if score > best_score:
+                best_score, best = score, alphabet.decode(ids)
+        out.append(best)
+    return out

@@ -361,8 +361,15 @@ void* vo_lm_load(const char* arpa_path, const char** alphabet_tokens,
 
 void vo_lm_free(void* lm) { delete static_cast<ArpaLM*>(lm); }
 
+int vo_lm_order(void* lm) { return static_cast<ArpaLM*>(lm)->order; }
+
 double vo_lm_logp(void* lm, const int* hist, int n, int token) {
-  return static_cast<ArpaLM*>(lm)->logp(hist, n, token);
+  auto* m = static_cast<ArpaLM*>(lm);
+  // Only the last order-1 history tokens can matter; truncate defensively
+  // so callers may pass a full prefix.
+  int want = m->order - 1;
+  if (n > want) { hist += n - want; n = want; }
+  return m->logp(hist, n, token);
 }
 
 // Decode a batch. logprobs: [B, Tmax, K]; frames: [B] valid frame counts;

@@ -58,6 +58,8 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ]
         lib.vo_lm_free.argtypes = [ctypes.c_void_p]
+        lib.vo_lm_order.restype = ctypes.c_int
+        lib.vo_lm_order.argtypes = [ctypes.c_void_p]
         lib.vo_lm_logp.restype = ctypes.c_double
         lib.vo_lm_logp.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
@@ -106,7 +108,13 @@ class NativeLM:
         if not self._ptr:
             raise RuntimeError(f"failed to load ARPA LM from {arpa_path}")
 
+    @property
+    def order(self) -> int:
+        return int(self._lib.vo_lm_order(self._ptr))
+
     def logp(self, hist_ids: Sequence[int], token_id: int) -> float:
+        """log P(token | hist). ``hist_ids`` may be a full prefix (only the
+        last order-1 entries matter); -1 is the native <s> sentinel."""
         h = np.asarray(hist_ids, dtype=np.int32)
         return self._lib.vo_lm_logp(
             self._ptr,

@@ -51,6 +51,7 @@ def run_inference(
     out_path: Optional[str] = None,
     eval_align: int = 128,  # re-bucket the snapshot ladder (0 = keep)
     decoder: str = "greedy",  # greedy | beam
+    beam_impl: str = "device",  # device (vectorized on-TPU) | host (oracle)
     beam_config=None,
     lm_path: Optional[str] = None,
     lm_alpha: float = 0.5,
@@ -101,7 +102,33 @@ def run_inference(
     # host decode + relay round-trip), then finalize host-side in order.
     from collections import deque
 
-    if decoder == "beam":
+    if decoder == "beam" and beam_impl == "device":
+        from .decode.device_beam import beam_scan_program, device_beam_decode
+
+        prog = beam_scan_program(beam_config)
+
+        def finalize(entry):
+            indices, valid, pre = entry
+            hyps.extend(device_beam_decode(
+                None, None, alphabet, beam_config, lm=lm,
+                valid=valid, precomputed=pre,
+            ))
+            _collect_refs(indices, valid, ds, refs, ids)
+
+        inflight = deque()
+        for batch in pipe.device_epoch(0):
+            log_probs, frame_mask = eval_step(
+                variables["params"], variables["batch_stats"],
+                batch.images, batch.widths,
+            )
+            inflight.append(
+                (batch.indices, batch.valid, prog(log_probs, frame_mask))
+            )
+            if len(inflight) >= _INFLIGHT_WINDOW:
+                finalize(inflight.popleft())
+        while inflight:
+            finalize(inflight.popleft())
+    elif decoder == "beam":
         from .decode.beam import beam_topk
 
         def finalize(entry):
@@ -159,7 +186,9 @@ def run_inference(
     report = {
         "snapshot": snapshot,
         "split": split,
-        "decoder": decoder,
+        "decoder": (
+            f"{decoder}:{beam_impl}" if decoder == "beam" else decoder
+        ),
         "lines": len(hyps),
         "cer": round(c, 5),
         "wer": round(w, 5),
@@ -189,6 +218,9 @@ def main(argv=None):
                    help="re-bucket the snapshot ladder onto this alignment "
                         "for eval (fewer compiled graphs); 0 keeps it")
     p.add_argument("--decoder", choices=("greedy", "beam"), default="greedy")
+    p.add_argument("--beam-impl", choices=("device", "host"), default="device",
+                   help="beam engine: vectorized on-TPU search (device) or "
+                        "the host C++/Python oracle expansion (host)")
     p.add_argument("--lm", default=None, help="ARPA LM path for beam fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--lm-beta", type=float, default=0.0)
@@ -200,7 +232,7 @@ def main(argv=None):
         args.snapshot, args.data, args.split,
         batch_pixels=args.batch_pixels, out_path=args.out,
         eval_align=args.eval_align,
-        decoder=args.decoder, lm_path=args.lm,
+        decoder=args.decoder, beam_impl=args.beam_impl, lm_path=args.lm,
         lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
     )
 

@@ -92,9 +92,15 @@ def _pick_unroll(T: int, step_bytes: int) -> int:
     """Timesteps per grid step, bounded by a VMEM budget: ``step_bytes`` is
     the total streamed bytes per timestep across ALL operands; blocks are
     double-buffered, so U * step_bytes * 2 plus weights/scratch must stay
-    under the ~128MB physical VMEM."""
+    under the ~128MB physical VMEM. VISTAOCR_LSTM_UNROLL overrides the
+    ladder's top rung (experiment knob; production default measured best
+    at 4 — see docs/design.md ledger)."""
+    import os
+
     budget = 32 * 1024 * 1024
-    for u in (4, 2):
+    top = int(os.environ.get("VISTAOCR_LSTM_UNROLL", "4"))
+    ladder = sorted({u for u in (top, 4, 2) if u > 1}, reverse=True)
+    for u in ladder:
         if T % u == 0 and u * step_bytes <= budget:
             return u
     return 1

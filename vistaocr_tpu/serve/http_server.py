@@ -99,10 +99,16 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8400)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--decoder", choices=("greedy", "beam"), default="greedy")
+    p.add_argument("--beam-impl", choices=("device", "host"), default="device",
+                   help="beam engine: vectorized on-TPU search, or the "
+                        "host C++/Python oracle expansion")
     p.add_argument("--lm", default=None)
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--no-device-resize", action="store_true",
+                   help="height-normalize with PIL on the host instead of "
+                        "inside the device graph")
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
     args = p.parse_args(argv)
@@ -114,8 +120,10 @@ def main(argv=None):
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         decoder=args.decoder,
+        beam_impl=args.beam_impl,
         beam=BeamConfig(lm_alpha=args.lm_alpha if args.lm else 0.0),
         lm_path=args.lm,
+        device_resize=not args.no_device_resize,
         warmup=not args.no_warmup,
     )
     serve(args.snapshot, args.port, args.host, cfg)

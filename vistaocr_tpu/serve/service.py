@@ -37,9 +37,11 @@ import numpy as np
 
 from ..checkpoint import load_model
 from ..data.buckets import BucketSpec, ShapeContract
-from ..data.transforms import normalize_line
+from ..data.transforms import maybe_invert, normalize_line, to_grayscale
 from ..decode import BeamConfig, beam_decode, greedy_decode, load_lm
+from ..decode.device_beam import beam_scan, device_beam_decode
 from ..decode.greedy import collapse_frames, greedy_frames
+from ..ops.resize import MAX_SCALE, host_pool, resize_lines, resized_to_uint8
 from ..text import uxxxx_to_utf8
 from ..train import make_eval_step
 
@@ -50,7 +52,22 @@ class ServiceConfig:
     max_wait_ms: float = 5.0
     decoder: str = "greedy"  # greedy | beam
     beam: BeamConfig = dataclasses.field(default_factory=BeamConfig)
+    # "device" runs the vectorized beam search INSIDE the fused per-bucket
+    # graph (decode/device_beam.py; the whole batch decodes in parallel on
+    # the TPU, host does an O(T) backtrace + optional two-pass LM
+    # rescoring). "host" is the single-line C++/Python oracle expansion —
+    # interleaved LM fusion, but bound by the one host core (measured 150
+    # vs 1132 greedy lines/s/chip in round 2).
+    beam_impl: str = "device"  # device | host
     lm_path: Optional[str] = None
+    # On-device height normalization (ops/resize.py): requests at
+    # non-contract heights are resized INSIDE the per-bucket graph; the
+    # host does only grayscale/polarity (and integer pre-pooling for
+    # lines taller than MAX_SCALE x the contract height — rare). The
+    # north-star preprocess chain (grayscale -> polarity, height-norm,
+    # pad, normalize) then runs entirely in the jitted graph. False =
+    # PIL resize on the host per request (round-2 behavior).
+    device_resize: bool = True
     warmup: bool = True
     # Serving re-buckets the snapshot's ladder onto serve_align-multiples.
     # Training wants a FINE ladder (padding waste = wasted FLOPs on the
@@ -71,10 +88,18 @@ class LineResult:
 
 @dataclasses.dataclass
 class _Pending:
-    image: np.ndarray  # height-normalized [H, W] uint8
-    width: int
+    image: np.ndarray  # [H, W] uint8 grayscale: contract-height, or a raw
+    #                    crop when ``raw`` (device-resize path)
+    width: int  # normalized width (the routing key; = image width if !raw)
     future: Future
     t_submit: float
+    raw: bool = False
+
+
+# Raw-buffer slack columns beyond bucket_width * MAX_SCALE: width rounding
+# (new_w = round(w*H/h)) can leave the raw width up to MAX_SCALE/2 px past
+# the nominal bound.
+_RAW_SLACK = 8
 
 
 class OcrService:
@@ -114,6 +139,57 @@ class OcrService:
             return greedy_frames(lp, fm)
 
         self._eval_greedy = jax.jit(_fused)
+        # Beam path, same shape: ONE device program per batch running
+        # preprocess + model + the vectorized beam search (BASELINE.json
+        # config #5's "fused preprocess + model + beam decode").
+        bc = config.beam
+
+        def _fused_beam(params, batch_stats, images, widths):
+            lp, fm = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, widths, train=False,
+            )
+            return beam_scan(
+                lp, fm, beam_width=bc.beam_width, topk=bc.topk,
+                prune_logp=float(bc.prune_logp),
+            )
+
+        self._eval_beam = jax.jit(_fused_beam)
+
+        # Raw-input variants: on-device height normalization fused in
+        # front of the model (requests at non-contract heights). Per-bucket
+        # raw buffer is [B, MAX_SCALE*H, MAX_SCALE*bucket_w + _RAW_SLACK];
+        # the out-width is recovered from the static buffer shape.
+        H = self.contract.height
+
+        def _forward_raw(params, batch_stats, raw, heights, widths,
+                         new_widths):
+            out_w = (raw.shape[2] - _RAW_SLACK) // MAX_SCALE
+            img = resized_to_uint8(resize_lines(
+                raw, heights, widths, new_widths, out_h=H, out_w=out_w,
+            ))
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img, new_widths, train=False,
+            )
+
+        def _raw_greedy(params, batch_stats, raw, heights, widths,
+                        new_widths):
+            lp, fm = _forward_raw(params, batch_stats, raw, heights, widths,
+                                  new_widths)
+            return greedy_frames(lp, fm)
+
+        def _raw_beam(params, batch_stats, raw, heights, widths, new_widths):
+            lp, fm = _forward_raw(params, batch_stats, raw, heights, widths,
+                                  new_widths)
+            return beam_scan(
+                lp, fm, beam_width=bc.beam_width, topk=bc.topk,
+                prune_logp=float(bc.prune_logp),
+            )
+
+        self._eval_raw = jax.jit(_forward_raw)
+        self._eval_raw_greedy = jax.jit(_raw_greedy)
+        self._eval_raw_beam = jax.jit(_raw_beam)
         self._lm = (
             load_lm(config.lm_path, self.alphabet) if config.lm_path else None
         )
@@ -134,19 +210,35 @@ class OcrService:
             self._warmup()
 
     # ---- client API ---------------------------------------------------------
+    def _prep(self, image) -> _Pending:
+        """Host-side request prep. With device_resize, only grayscale +
+        polarity (+ rare integer pre-pooling) happen here; the geometric
+        resize runs on device inside the bucket graph."""
+        H = self.contract.height
+        max_w = self.contract.bucket_widths[-1]
+        if not self.config.device_resize:
+            norm = normalize_line(image, H, max_width=max_w)
+            return _Pending(norm, norm.shape[1], Future(), time.time())
+        arr = maybe_invert(to_grayscale(image))
+        h, w = arr.shape
+        cap = MAX_SCALE * H
+        if h > cap:
+            arr = host_pool(arr, cap)
+            h, w = arr.shape
+        if h == H and w <= max_w:
+            return _Pending(arr, w, Future(), time.time())
+        # normalized width: the parity-pinned host formula (round half to
+        # even, as data/transforms.height_normalize)
+        new_w = min(max(1, round(w * H / h)), max_w)
+        return _Pending(arr, new_w, Future(), time.time(), raw=True)
+
     def submit(self, image) -> Future:
         """image: [H,W]/[H,W,C] uint8 array or PIL image, any height.
         Returns a Future[LineResult]."""
-        t0 = time.time()
-        norm = normalize_line(
-            image,
-            self.contract.height,
-            max_width=self.contract.bucket_widths[-1],
-        )
-        b = self.contract.bucket_for_width(norm.shape[1])
-        fut: Future = Future()
-        self._queues[b].put(_Pending(norm, norm.shape[1], fut, t0))
-        return fut
+        p = self._prep(image)
+        b = self.contract.bucket_for_width(p.width)
+        self._queues[b].put(p)
+        return p.future
 
     def ocr_lines(self, images: Sequence) -> List[LineResult]:
         """Bulk OCR: route everything up front, dispatch every batch's
@@ -158,62 +250,36 @@ class OcrService:
         serializes on per-batch round-trip latency (measured 9.8s for 512
         lines vs ~1s on this path). submit() remains the latency-shaped
         online entry."""
-        t0 = time.time()
         pendings = []
-        buckets: dict = {}
-        for i, img in enumerate(images):
-            norm = normalize_line(
-                img, self.contract.height,
-                max_width=self.contract.bucket_widths[-1],
-            )
-            p = _Pending(norm, norm.shape[1], Future(), t0)
+        buckets: dict = {}  # (bucket_idx, raw) -> [pendings]
+        for img in images:
+            p = self._prep(img)
             pendings.append(p)
-            b = self.contract.bucket_for_width(norm.shape[1])
-            buckets.setdefault(b, []).append(p)
+            b = self.contract.bucket_for_width(p.width)
+            buckets.setdefault((b, p.raw), []).append(p)
 
-        # Phase 1: dispatch all device work. Greedy mode is one fused
-        # program per batch (forward + collapse).
-        beam_mode = self.config.decoder == "beam"
+        # Phase 1: dispatch all device work — one fused program per batch
+        # (forward + greedy collapse, or forward + device beam search;
+        # raw batches additionally resize on device).
         inflight = []
-        for b, plist in buckets.items():
+        for (b, raw), plist in buckets.items():
             for k in range(0, len(plist), self.config.max_batch):
                 chunk = plist[k : k + self.config.max_batch]
-                images_np, widths_np, valid = self._assemble(b, chunk)
+                assembled = self._assemble_chunk(b, chunk, raw)
                 with self._lock:
-                    if beam_mode:
-                        log_probs, frame_mask = self._eval_step(
-                            self.variables["params"],
-                            self.variables["batch_stats"],
-                            jnp.asarray(images_np), jnp.asarray(widths_np),
-                        )
-                        pre = None
-                    else:
-                        log_probs = frame_mask = None
-                        pre = self._eval_greedy(
-                            self.variables["params"],
-                            self.variables["batch_stats"],
-                            jnp.asarray(images_np), jnp.asarray(widths_np),
-                        )
-                inflight.append((b, chunk, log_probs, frame_mask, pre, valid))
+                    handle = self._dispatch_assembled(assembled, raw)
+                inflight.append((b, chunk, handle))
 
         # Phase 2: host finalize in dispatch order.
-        for b, chunk, log_probs, frame_mask, pre, valid in inflight:
-            if self.config.decoder == "beam":
-                hyps = beam_decode(
-                    log_probs, frame_mask, self.alphabet, self.config.beam,
-                    lm=self._lm, valid=valid,
-                )
-            else:
-                frames = np.asarray(pre)
-                hyps = [
-                    collapse_frames(frames[i], self.alphabet)
-                    for i in range(len(chunk))
-                ]
+        for b, chunk, handle in inflight:
+            n = len(chunk)
+            valid = np.arange(self.config.max_batch) < n
+            hyps = self._finalize(handle, valid, n)
             self._resolve(b, chunk, hyps)
             with self._stats_lock:
-                self.stats["lines"] += len(chunk)
+                self.stats["lines"] += n
                 self.stats["batches"] += 1
-                self.stats["pad_waste"] += self.config.max_batch - len(chunk)
+                self.stats["pad_waste"] += self.config.max_batch - n
         return [p.future.result() for p in pendings]
 
     def close(self):
@@ -222,33 +288,79 @@ class OcrService:
             t.join(timeout=2.0)
 
     # ---- internals ----------------------------------------------------------
+    def _dispatch(self, images_np, widths_np):
+        """Device-side work for one assembled contract-height batch (call
+        under the dispatch lock). Returns an opaque handle for
+        ``_finalize``."""
+        args = (
+            self.variables["params"], self.variables["batch_stats"],
+            jnp.asarray(images_np), jnp.asarray(widths_np),
+        )
+        if self.config.decoder == "beam":
+            if self.config.beam_impl == "device":
+                return ("beam_dev", self._eval_beam(*args))
+            return ("beam_host", self._eval_step(*args))
+        return ("greedy", self._eval_greedy(*args))
+
+    def _dispatch_raw(self, raw, heights, widths, new_widths):
+        """Device-side work for a raw batch: on-device resize fused in
+        front of the model (call under the dispatch lock)."""
+        args = (
+            self.variables["params"], self.variables["batch_stats"],
+            jnp.asarray(raw), jnp.asarray(heights), jnp.asarray(widths),
+            jnp.asarray(new_widths),
+        )
+        if self.config.decoder == "beam":
+            if self.config.beam_impl == "device":
+                return ("beam_dev", self._eval_raw_beam(*args))
+            return ("beam_host", self._eval_raw(*args))
+        return ("greedy", self._eval_raw_greedy(*args))
+
+    def _assemble_chunk(self, bucket_idx: int, chunk: List[_Pending],
+                        raw: bool):
+        if raw:
+            return self._assemble_raw(bucket_idx, chunk)
+        images, widths, _ = self._assemble(bucket_idx, chunk)
+        return images, widths
+
+    def _dispatch_assembled(self, assembled, raw: bool):
+        return (self._dispatch_raw(*assembled) if raw
+                else self._dispatch(*assembled))
+
+    def _finalize(self, handle, valid, n):
+        """Host-side decode of a dispatched batch -> n uxxxx hypotheses."""
+        kind, data = handle
+        if kind == "greedy":
+            frames = np.asarray(data)
+            return [
+                collapse_frames(frames[i], self.alphabet) for i in range(n)
+            ]
+        if kind == "beam_dev":
+            return device_beam_decode(
+                None, None, self.alphabet, self.config.beam,
+                lm=self._lm, valid=valid, precomputed=data,
+            )
+        log_probs, frame_mask = data
+        return beam_decode(
+            log_probs, frame_mask, self.alphabet, self.config.beam,
+            lm=self._lm, valid=valid,
+        )
+
     def _warmup(self):
         """Compile every bucket graph up front so first requests aren't
         paying compile latency — the WHOLE path including the decoder's
-        device graphs (greedy collapse / beam top-k), which otherwise
-        compile inside the first real request per bucket."""
+        device graphs (greedy collapse / device beam scan / beam top-k),
+        which otherwise compile inside the first real request per bucket."""
         for i, bw in enumerate(self.contract.bucket_widths):
             spec = BucketSpec.of(self.contract, i)
-            images = jnp.zeros(
-                (self.config.max_batch, spec.height, spec.width), jnp.uint8
+            images = np.zeros(
+                (self.config.max_batch, spec.height, spec.width), np.uint8
             )
-            widths = jnp.full((self.config.max_batch,), spec.width, jnp.int32)
-            # Host expansion on one sample is enough — the device graphs
+            widths = np.full((self.config.max_batch,), spec.width, np.int32)
+            # Host finalize on one sample is enough — the device graphs
             # (the compile cost) cover the full batch shape either way.
             valid = np.arange(self.config.max_batch) < 1
-            if self.config.decoder == "beam":
-                log_probs, frame_mask = self._eval_step(
-                    self.variables["params"], self.variables["batch_stats"],
-                    images, widths,
-                )
-                beam_decode(log_probs, frame_mask, self.alphabet,
-                            self.config.beam, lm=self._lm, valid=valid)
-            else:
-                pre = self._eval_greedy(
-                    self.variables["params"], self.variables["batch_stats"],
-                    images, widths,
-                )
-                collapse_frames(np.asarray(pre)[0], self.alphabet)
+            self._finalize(self._dispatch(images, widths), valid, 1)
 
     def _bucket_loop(self, bucket_idx: int):
         q = self._queues[bucket_idx]
@@ -268,7 +380,13 @@ class OcrService:
                     batch.append(q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run_batch(bucket_idx, batch)
+            # contract-height and raw requests run different graphs
+            norm = [p for p in batch if not p.raw]
+            rawl = [p for p in batch if p.raw]
+            if norm:
+                self._run_batch(bucket_idx, norm, raw=False)
+            if rawl:
+                self._run_batch(bucket_idx, rawl, raw=True)
 
     def _assemble(self, bucket_idx: int, pendings: List[_Pending]):
         """Pad a pending list into the bucket's static batch shape."""
@@ -284,6 +402,27 @@ class OcrService:
         valid = np.arange(B) < n
         return images, widths, valid
 
+    def _assemble_raw(self, bucket_idx: int, pendings: List[_Pending]):
+        """Pad raw crops into the bucket's static RAW batch shape
+        [B, MAX_SCALE*H, MAX_SCALE*bucket_w + _RAW_SLACK] + per-sample
+        (height, raw width, normalized width)."""
+        spec = BucketSpec.of(self.contract, bucket_idx)
+        B = self.config.max_batch
+        cap = MAX_SCALE * spec.height
+        wraw = MAX_SCALE * spec.width + _RAW_SLACK
+        raw = np.full((B, cap, wraw), 255, np.uint8)
+        heights = np.full((B,), spec.height, np.int32)
+        widths = np.full((B,), spec.width, np.int32)
+        new_widths = np.full((B,), spec.width, np.int32)
+        for i, p in enumerate(pendings):
+            h, w = p.image.shape
+            w = min(w, wraw)
+            raw[i, :h, :w] = p.image[:, :w]
+            heights[i] = h
+            widths[i] = w
+            new_widths[i] = p.width
+        return raw, heights, widths, new_widths
+
     def _resolve(self, bucket_idx: int, pendings: List[_Pending],
                  hyps: List[str]):
         spec = BucketSpec.of(self.contract, bucket_idx)
@@ -298,38 +437,21 @@ class OcrService:
                 )
             )
 
-    def _run_batch(self, bucket_idx: int, pendings: List[_Pending]):
+    def _run_batch(self, bucket_idx: int, pendings: List[_Pending],
+                   raw: bool = False):
         n = len(pendings)
         B = self.config.max_batch
-        images, widths, valid = self._assemble(bucket_idx, pendings)
+        valid = np.arange(B) < n
 
         try:
             # Only graph DISPATCH needs the device lock (execution is
-            # stream-ordered); decode — host-heavy for beam — runs outside
-            # so it never serializes other buckets' device work.
-            if self.config.decoder == "beam":
-                with self._lock:
-                    log_probs, frame_mask = self._eval_step(
-                        self.variables["params"],
-                        self.variables["batch_stats"],
-                        jnp.asarray(images), jnp.asarray(widths),
-                    )
-                hyps = beam_decode(
-                    log_probs, frame_mask, self.alphabet,
-                    self.config.beam, lm=self._lm, valid=valid,
-                )
-            else:
-                with self._lock:
-                    pre = self._eval_greedy(
-                        self.variables["params"],
-                        self.variables["batch_stats"],
-                        jnp.asarray(images), jnp.asarray(widths),
-                    )
-                frames = np.asarray(pre)
-                hyps = [
-                    collapse_frames(frames[i], self.alphabet)
-                    for i in range(n)
-                ]
+            # stream-ordered); host assembly + finalize — heavy for
+            # host-beam — run outside so they never serialize other
+            # buckets' device work.
+            assembled = self._assemble_chunk(bucket_idx, pendings, raw)
+            with self._lock:
+                handle = self._dispatch_assembled(assembled, raw)
+            hyps = self._finalize(handle, valid, n)
         except Exception as e:  # resolve futures with the error, don't hang
             for p in pendings:
                 p.future.set_exception(e)
