@@ -84,10 +84,28 @@ def main():
     val = ShardedLineDataset(args.data, "val")
     imgs = [val[i].image for i in range(min(args.lines, len(val)))]
 
+    print("# building service (warmup compiles every bucket graph)...",
+          flush=True)
+    t0 = time.time()
     svc = OcrService(snap, ServiceConfig(
         max_batch=args.max_batch, max_wait_ms=2.0, decoder=args.decoder,
     ))
+    print(f"# service up in {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
     svc.ocr_lines(imgs)  # warm every graph
+    print(f"# warm pass in {time.time()-t0:.0f}s", flush=True)
+
+    # Honest end-to-end number first (the bench protocol): the staged
+    # breakdown below serializes a fence per batch, which charges the
+    # relay round trip to 'device' — production overlaps it.
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        svc.ocr_lines(imgs)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"# end-to-end ocr_lines: {len(imgs)/best:.0f} lines/s/chip "
+          f"({best*1e3:.0f} ms best-of-3)", flush=True)
 
     # --- staged timing (mirrors ocr_lines' two-phase structure) ---------
     t0 = time.time()

@@ -131,6 +131,35 @@ class TestBacktrace:
         assert em1.shape == (lp.shape[1], lp.shape[0], 8)
         np.testing.assert_array_equal(em1, em2)
 
+    def test_device_backtrace_matches_numpy(self):
+        from vistaocr_tpu.decode.device_beam import (
+            beam_scan_collapsed,
+            device_backtrace,
+        )
+
+        lp, mask, _ = _random_case(6)
+        totals, parents, tokens = beam_scan(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0)
+        ref = backtrace(np.asarray(parents), np.asarray(tokens))
+        dev = np.asarray(device_backtrace(parents, tokens))
+        np.testing.assert_array_equal(dev, ref)
+
+        # collapsed all-beams layout agrees too
+        t2, em_all = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0, all_beams=True)
+        np.testing.assert_array_equal(
+            np.asarray(em_all), ref.transpose(1, 2, 0))
+        # best-only layout = the argmax beam's row
+        t3, em_best = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0, all_beams=False)
+        best = np.asarray(t3).argmax(1)
+        for b in range(lp.shape[0]):
+            np.testing.assert_array_equal(
+                np.asarray(em_best)[b], ref[:, b, best[b]])
+
 
 class TestTwoPassLM:
     def test_rescoring_picks_lm_favored_final(self):

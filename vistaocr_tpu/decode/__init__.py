@@ -1,6 +1,6 @@
 from .greedy import greedy_decode, greedy_frames, collapse_frames
 from .beam import BeamConfig, beam_decode, beam_topk, load_lm, prefix_beam_search
-from .device_beam import beam_scan, device_beam_decode
+from .device_beam import beam_scan, beam_scan_collapsed, device_beam_decode
 from .lm import ArpaLM, train_char_lm
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "beam_decode",
     "beam_topk",
     "beam_scan",
+    "beam_scan_collapsed",
     "device_beam_decode",
     "load_lm",
     "prefix_beam_search",

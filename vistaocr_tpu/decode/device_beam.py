@@ -186,17 +186,21 @@ def beam_scan(
 
 
 @functools.lru_cache(maxsize=None)
-def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float):
+def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float,
+                   all_beams: bool):
     return jax.jit(functools.partial(
-        beam_scan, beam_width=beam_width, topk=topk, prune_logp=prune_logp,
+        beam_scan_collapsed, beam_width=beam_width, topk=topk,
+        prune_logp=prune_logp, all_beams=all_beams,
     ))
 
 
-def beam_scan_program(config: BeamConfig):
-    """Jitted ``beam_scan`` for a config — for callers that dispatch the
-    search separately from the forward pass (infer's two-phase loop)."""
+def beam_scan_program(config: BeamConfig, all_beams: bool = False):
+    """Jitted ``beam_scan_collapsed`` for a config — for callers that
+    dispatch the search separately from the forward pass (infer's
+    two-phase loop). ``all_beams`` must be True when the finals will be
+    LM-rescored."""
     return _beam_scan_jit(config.beam_width, config.topk,
-                          float(config.prune_logp))
+                          float(config.prune_logp), bool(all_beams))
 
 
 def backtrace(
@@ -205,7 +209,10 @@ def backtrace(
 ) -> np.ndarray:
     """Reconstruct every beam slot's emitted-token sequence: [T, B, W]
     int32 where entry t is the token slot w's prefix gained at frame t
-    (0 = none). numpy-vectorized over (B, W); O(T) python steps."""
+    (0 = none). numpy-vectorized over (B, W); O(T) python steps.
+    (Oracle for ``device_backtrace``; the production path backtracks on
+    device — downloading the [T,B,W] trellis costs ~2 relay round trips
+    per batch, 69% of the measured beam service time.)"""
     T, B, W = parents.shape
     emitted = np.zeros((T, B, W), np.int32)
     cur = np.broadcast_to(np.arange(W, dtype=np.int64), (B, W)).copy()
@@ -214,6 +221,50 @@ def backtrace(
         emitted[t] = tokens[t][rows, cur]
         cur = parents[t][rows, cur]
     return emitted
+
+
+def device_backtrace(parents: jax.Array, tokens: jax.Array) -> jax.Array:
+    """Traceable backtrace: [T, B, W] parents/tokens -> emitted [T, B, W]
+    (reverse lax.scan carrying each slot's current ancestor index)."""
+    T, B, W = parents.shape
+    cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None], (B, W))
+
+    def body(cur, pt):
+        par_t, tok_t = pt  # [B, W]
+        emit = jnp.take_along_axis(tok_t, cur, axis=1)
+        return jnp.take_along_axis(par_t, cur, axis=1), emit
+
+    _, emitted = jax.lax.scan(body, cur0, (parents, tokens), reverse=True)
+    return emitted  # [T, B, W], time order preserved
+
+
+def beam_scan_collapsed(
+    log_probs: jax.Array,  # [B, T, K]
+    frame_mask: jax.Array,  # [B, T]
+    *,
+    beam_width: int,
+    topk: int,
+    prune_logp: float,
+    all_beams: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """beam_scan + on-device backtrace. Returns (totals [B, W], emitted):
+    emitted is [B, T] int32 for the BEST beam per line (token or 0 per
+    frame — same wire format as greedy_frames, so the host collapse is
+    shared), or [B, W, T] when ``all_beams`` (two-pass LM rescoring needs
+    every final). Keeps the host<->device transfer tiny: the [T, B, W]
+    search trellis never leaves the device."""
+    totals, parents, tokens = beam_scan(
+        log_probs, frame_mask, beam_width=beam_width, topk=topk,
+        prune_logp=prune_logp,
+    )
+    emitted = device_backtrace(parents, tokens)  # [T, B, W]
+    if all_beams:
+        return totals, jnp.transpose(emitted, (1, 2, 0))
+    best = jnp.argmax(totals, axis=1)  # [B]
+    picked = jnp.take_along_axis(
+        emitted, best[None, :, None], axis=2
+    )[..., 0]  # [T, B]
+    return totals, jnp.swapaxes(picked, 0, 1)  # [B, T]
 
 
 def lm_prefix_logp(lm, alphabet: Alphabet, ids: Sequence[int]) -> float:
@@ -243,41 +294,49 @@ def device_beam_decode(
     config: BeamConfig = BeamConfig(),
     lm=None,
     valid: Optional[np.ndarray] = None,
-    precomputed=None,  # (totals, parents, tokens) from beam_scan
+    precomputed=None,  # (totals, emitted) from beam_scan_collapsed
 ) -> List[str]:
     """Batch beam decode via the device search -> best uxxxx per valid
     sample. With an LM, the device returns top-W finals and the host
     rescores them (two-pass fusion). ``precomputed`` lets a caller fuse
-    ``beam_scan`` into its own jitted program (serve) or dispatch many
-    batches ahead (infer) — log_probs/frame_mask are unused then."""
+    ``beam_scan_collapsed`` into its own jitted program (serve) or
+    dispatch many batches ahead (infer) — log_probs/frame_mask are unused
+    then; its ``emitted`` arity (best-only [B,T] vs all-beams [B,W,T])
+    must match whether an LM is in play."""
+    use_lm = lm is not None and config.lm_alpha != 0.0
     if precomputed is not None:
-        totals, parents, tokens = precomputed
+        totals, emitted = precomputed
     else:
         fn = _beam_scan_jit(config.beam_width, config.topk,
-                            float(config.prune_logp))
-        totals, parents, tokens = fn(log_probs, frame_mask)
+                            float(config.prune_logp), use_lm)
+        totals, emitted = fn(log_probs, frame_mask)
     totals = np.asarray(totals)  # [B, W]
-    emitted = backtrace(np.asarray(parents), np.asarray(tokens))  # [T, B, W]
+    emitted = np.asarray(emitted)  # [B, T] or [B, W, T]
 
     B, W = totals.shape
-    use_lm = lm is not None and config.lm_alpha != 0.0
     out: List[str] = []
     for b in range(B):
         if valid is not None and not valid[b]:
             continue
         if not use_lm:
-            w = int(np.argmax(totals[b]))
-            col = emitted[:, b, w]
+            if emitted.ndim == 3:  # all-beams layout works for both modes
+                col = emitted[b, int(np.argmax(totals[b]))]
+            else:
+                col = emitted[b]
             out.append(alphabet.decode(col[col != 0].tolist()))
             continue
+        if emitted.ndim != 3:
+            raise ValueError(
+                "LM rescoring needs all_beams=True beam_scan output"
+            )
         best, best_score = "", -np.inf
         order = np.argsort(-totals[b])
         for w in order:
             ctc = float(totals[b, w])
             if ctc == -np.inf:
                 break
-            col = emitted[:, b, int(w)]
-            ids = col[col != 0].tolist()
+            row = emitted[b, int(w)]
+            ids = row[row != 0].tolist()
             score = (ctc + config.lm_alpha * lm_prefix_logp(lm, alphabet, ids)
                      + config.lm_beta * len(ids))
             if score > best_score:

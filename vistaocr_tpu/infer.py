@@ -42,6 +42,17 @@ def _collect_refs(indices, valid, ds, refs, ids):
 _INFLIGHT_WINDOW = 16
 
 
+def _host_prefetch(arrays):
+    """Async device->host copies: np.asarray at finalize time then finds
+    the bytes already local instead of paying the relay's ~75 ms
+    round trip per array per batch (serve/service.py has the numbers)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+
+
 def run_inference(
     snapshot: str,
     data_dir: str,
@@ -105,7 +116,9 @@ def run_inference(
     if decoder == "beam" and beam_impl == "device":
         from .decode.device_beam import beam_scan_program, device_beam_decode
 
-        prog = beam_scan_program(beam_config)
+        prog = beam_scan_program(
+            beam_config, all_beams=lm is not None and beam_config.lm_alpha != 0
+        )
 
         def finalize(entry):
             indices, valid, pre = entry
@@ -121,9 +134,9 @@ def run_inference(
                 variables["params"], variables["batch_stats"],
                 batch.images, batch.widths,
             )
-            inflight.append(
-                (batch.indices, batch.valid, prog(log_probs, frame_mask))
-            )
+            pre = prog(log_probs, frame_mask)
+            _host_prefetch(pre)
+            inflight.append((batch.indices, batch.valid, pre))
             if len(inflight) >= _INFLIGHT_WINDOW:
                 finalize(inflight.popleft())
         while inflight:
@@ -175,8 +188,9 @@ def run_inference(
                 variables["params"], variables["batch_stats"],
                 batch.images, batch.widths,
             )
-            inflight.append((batch.indices, batch.valid, batch.size,
-                             greedy_frames(log_probs, frame_mask)))
+            pre = greedy_frames(log_probs, frame_mask)
+            _host_prefetch((pre,))
+            inflight.append((batch.indices, batch.valid, batch.size, pre))
             if len(inflight) >= _INFLIGHT_WINDOW:
                 finalize(inflight.popleft())
         while inflight:

@@ -39,7 +39,7 @@ from ..checkpoint import load_model
 from ..data.buckets import BucketSpec, ShapeContract
 from ..data.transforms import maybe_invert, normalize_line, to_grayscale
 from ..decode import BeamConfig, beam_decode, greedy_decode, load_lm
-from ..decode.device_beam import beam_scan, device_beam_decode
+from ..decode.device_beam import beam_scan_collapsed, device_beam_decode
 from ..decode.greedy import collapse_frames, greedy_frames
 from ..ops.resize import MAX_SCALE, host_pool, resize_lines, resized_to_uint8
 from ..text import uxxxx_to_utf8
@@ -140,18 +140,22 @@ class OcrService:
 
         self._eval_greedy = jax.jit(_fused)
         # Beam path, same shape: ONE device program per batch running
-        # preprocess + model + the vectorized beam search (BASELINE.json
-        # config #5's "fused preprocess + model + beam decode").
+        # preprocess + model + the vectorized beam search + backtrace
+        # (BASELINE.json config #5's "fused preprocess + model + beam
+        # decode"). Without an LM only the winning beam's [B, T] token
+        # rows leave the device — the relay D2H round trip on the full
+        # [T, B, W] trellis measured 69% of the beam service time.
         bc = config.beam
+        self._beam_all = bool(config.lm_path) and bc.lm_alpha != 0.0
 
         def _fused_beam(params, batch_stats, images, widths):
             lp, fm = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 images, widths, train=False,
             )
-            return beam_scan(
+            return beam_scan_collapsed(
                 lp, fm, beam_width=bc.beam_width, topk=bc.topk,
-                prune_logp=float(bc.prune_logp),
+                prune_logp=float(bc.prune_logp), all_beams=self._beam_all,
             )
 
         self._eval_beam = jax.jit(_fused_beam)
@@ -182,9 +186,9 @@ class OcrService:
         def _raw_beam(params, batch_stats, raw, heights, widths, new_widths):
             lp, fm = _forward_raw(params, batch_stats, raw, heights, widths,
                                   new_widths)
-            return beam_scan(
+            return beam_scan_collapsed(
                 lp, fm, beam_width=bc.beam_width, topk=bc.topk,
-                prune_logp=float(bc.prune_logp),
+                prune_logp=float(bc.prune_logp), all_beams=self._beam_all,
             )
 
         self._eval_raw = jax.jit(_forward_raw)
@@ -193,6 +197,11 @@ class OcrService:
         self._lm = (
             load_lm(config.lm_path, self.alphabet) if config.lm_path else None
         )
+        # uxxxx -> utf8 via a per-alphabet table: re-parsing each hex token
+        # per line measured ~45% of the host finalize cost.
+        self._char_of = {
+            t: uxxxx_to_utf8(t) for t in self.alphabet.tokens
+        }
         self._queues: List[queue.Queue] = [
             queue.Queue() for _ in self.contract.bucket_widths
         ]
@@ -270,7 +279,13 @@ class OcrService:
                     handle = self._dispatch_assembled(assembled, raw)
                 inflight.append((b, chunk, handle))
 
-        # Phase 2: host finalize in dispatch order.
+        # Phase 2: start EVERY batch's device->host copy before touching
+        # any result: np.asarray on this relay pays a ~75 ms round trip
+        # per array, and serializing it per batch was the dominant greedy
+        # service cost (7 batches = ~525 ms of pure latency). Async copies
+        # overlap to ~one round trip total.
+        for _, _, handle in inflight:
+            self._prefetch_handle(handle)
         for b, chunk, handle in inflight:
             n = len(chunk)
             valid = np.arange(self.config.max_batch) < n
@@ -326,6 +341,17 @@ class OcrService:
     def _dispatch_assembled(self, assembled, raw: bool):
         return (self._dispatch_raw(*assembled) if raw
                 else self._dispatch(*assembled))
+
+    @staticmethod
+    def _prefetch_handle(handle):
+        """Kick off async device->host copies for a dispatched batch's
+        result arrays (jax Array.copy_to_host_async)."""
+        _, data = handle
+        for a in data if isinstance(data, tuple) else (data,):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
 
     def _finalize(self, handle, valid, n):
         """Host-side decode of a dispatched batch -> n uxxxx hypotheses."""
@@ -427,10 +453,15 @@ class OcrService:
                  hyps: List[str]):
         spec = BucketSpec.of(self.contract, bucket_idx)
         now = time.time()
+        char_of = self._char_of
         for p, hyp in zip(pendings, hyps):
+            try:
+                text = "".join(char_of[t] for t in hyp.split())
+            except KeyError:  # token outside the alphabet table
+                text = uxxxx_to_utf8(hyp)
             p.future.set_result(
                 LineResult(
-                    text=uxxxx_to_utf8(hyp),
+                    text=text,
                     uxxxx=hyp,
                     latency_ms=(now - p.t_submit) * 1000.0,
                     bucket_width=spec.width,
