@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 # Forward kernel
 # ---------------------------------------------------------------------------
 def _fwd_kernel(xw_ref, mask_ref, wh_ref, *out_and_scratch, dtype, unroll,
-                save_cell):
+                save_cell, reverse=False):
     if save_cell:
         ys_ref, cs_ref, h_ref, c_ref = out_and_scratch
     else:
@@ -68,7 +68,13 @@ def _fwd_kernel(xw_ref, mask_ref, wh_ref, *out_and_scratch, dtype, unroll,
     H = h.shape[-1]
     # ``unroll`` timesteps per grid step: the recurrent matmul is small, so
     # per-step block swaps dominate at U=1.
-    for u in range(unroll):
+    #
+    # ``reverse``: the grid walks time blocks back-to-front (reversed
+    # BlockSpec index maps) and this loop walks frames within the block
+    # back-to-front — the kernel IS the time flip, so the caller never
+    # materializes flipped copies of x/ys (each flip was a full HBM
+    # read+write pass over the layer's largest tensors).
+    for u in (reversed(range(unroll)) if reverse else range(unroll)):
         gates = xw_ref[u].astype(jnp.float32) + jnp.dot(
             h.astype(dtype), wh, preferred_element_type=jnp.float32
         )
@@ -114,24 +120,29 @@ def _lstm_fwd_local(
     dtype,
     interpret: bool = False,
     save_cell: bool = True,
+    reverse: bool = False,
 ) -> Tuple[jax.Array, "jax.Array | None"]:
     """``save_cell=False`` (inference path) skips writing the cell-state
     residual to HBM — it is only needed by the backward kernel. ys/cs come
-    back in xw's dtype (the stream dtype)."""
+    back in xw's dtype (the stream dtype). ``reverse`` runs the recurrence
+    back-to-front over time IN the kernel (reversed index maps), with
+    ys/cs written at their natural time positions."""
     T, B, H4 = xw.shape
     H = H4 // 4
     sdt = xw.dtype
     U = _pick_unroll(T, B * (H4 + 2 * H) * sdt.itemsize + 4 * B)
+    nblk = T // U
     kernel = functools.partial(_fwd_kernel, dtype=dtype, unroll=U,
-                               save_cell=save_cell)
-    ts_spec = pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
-                           memory_space=pltpu.VMEM)
+                               save_cell=save_cell, reverse=reverse)
+    tmap = ((lambda t: (nblk - 1 - t, 0, 0)) if reverse
+            else (lambda t: (t, 0, 0)))
+    ts_spec = pl.BlockSpec((U, B, H), tmap, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(T // U,),
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((U, B, H4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, 1, B), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[ts_spec, ts_spec] if save_cell else [ts_spec],
@@ -153,7 +164,7 @@ def _lstm_fwd_local(
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_op(dtype, interpret: bool, save_cell: bool):
+def _fwd_op(dtype, interpret: bool, save_cell: bool, reverse: bool):
     """SPMD-partitionable forward recurrence: per-sample kernel, so each
     device runs its local batch shard (see parallel/partition.py) instead
     of GSPMD replicating the opaque pallas call after an all-gather."""
@@ -162,38 +173,41 @@ def _fwd_op(dtype, interpret: bool, save_cell: bool):
     if save_cell:
         def impl(xw, mask, wh):
             return _lstm_fwd_local(
-                xw, mask, wh, dtype=dtype, interpret=interpret, save_cell=True
+                xw, mask, wh, dtype=dtype, interpret=interpret,
+                save_cell=True, reverse=reverse,
             )
 
         return batch_partitioned(impl, "t b g, t u b, h g -> t b h, t b h")
 
     def impl(xw, mask, wh):
         ys, _ = _lstm_fwd_local(
-            xw, mask, wh, dtype=dtype, interpret=interpret, save_cell=False
+            xw, mask, wh, dtype=dtype, interpret=interpret, save_cell=False,
+            reverse=reverse,
         )
         return ys
 
     return batch_partitioned(impl, "t b g, t u b, h g -> t b h")
 
 
-def _lstm_fwd_pallas(xw, mask, wh, *, dtype, interpret=False, save_cell=True):
-    out = _fwd_op(jnp.dtype(dtype), bool(interpret), bool(save_cell))(
-        xw, mask, wh
-    )
+def _lstm_fwd_pallas(xw, mask, wh, *, dtype, interpret=False, save_cell=True,
+                     reverse=False):
+    out = _fwd_op(jnp.dtype(dtype), bool(interpret), bool(save_cell),
+                  bool(reverse))(xw, mask, wh)
     if save_cell:
         return out[0], out[1]
     return out, None
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_op(dtype, interpret: bool):
+def _bwd_op(dtype, interpret: bool, reverse: bool):
     """Partitioned backward: dxw is per-sample; dwh is a SUM over the batch
     — psum'd across the batch mesh axes by the partition wrapper."""
     from ..parallel.partition import batch_partitioned
 
     def impl(xw, mask, wh, ys, cs, dys):
         return _lstm_bwd_local(
-            xw, mask, wh, ys, cs, dys, dtype=dtype, interpret=interpret
+            xw, mask, wh, ys, cs, dys, dtype=dtype, interpret=interpret,
+            reverse=reverse,
         )
 
     return batch_partitioned(
@@ -203,8 +217,9 @@ def _bwd_op(dtype, interpret: bool):
     )
 
 
-def _lstm_bwd_pallas(xw, mask, wh, ys, cs, dys, *, dtype, interpret=False):
-    return _bwd_op(jnp.dtype(dtype), bool(interpret))(
+def _lstm_bwd_pallas(xw, mask, wh, ys, cs, dys, *, dtype, interpret=False,
+                     reverse=False):
+    return _bwd_op(jnp.dtype(dtype), bool(interpret), bool(reverse))(
         xw, mask, wh, ys, cs, dys
     )
 
@@ -212,6 +227,57 @@ def _lstm_bwd_pallas(xw, mask, wh, ys, cs, dys, *, dtype, interpret=False):
 # ---------------------------------------------------------------------------
 # Backward kernel (reverse-time BPTT with gate recomputation)
 # ---------------------------------------------------------------------------
+def _bptt_frame(xw_ref, mask_ref, dys_ref, dxw_ref, wh, u,
+                h_prev, c_prev, c_t, dh_carry, dc_carry, *, dtype):
+    """One frame of BPTT: recompute gates from (xw, h_prev), write this
+    frame's dxw gate slices in place, and return the updated
+    (dh_carry, dc_carry, dwh contribution). Shared by both direction
+    kernels — only the frame/block iteration order and the state-row
+    alignment differ between them."""
+    H = c_t.shape[-1]
+    gates = xw_ref[u].astype(jnp.float32) + jnp.dot(
+        h_prev.astype(dtype), wh, preferred_element_type=jnp.float32
+    )
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    tanh_c = jnp.tanh(c_t)
+
+    m = mask_ref[u, 0].astype(jnp.float32)[:, None]
+    dh = dh_carry + dys_ref[u].astype(jnp.float32)
+    dc = dc_carry
+
+    # Write each gate slice straight into dxw_ref (no concat temp).
+    sdt = dxw_ref.dtype
+    do = dh * tanh_c
+    dc_t = dc + dh * o * (1.0 - tanh_c * tanh_c)
+    dxw_ref[u, :, :H] = ((dc_t * g) * i * (1.0 - i) * m).astype(sdt)
+    dxw_ref[u, :, H : 2 * H] = (
+        (dc_t * c_prev) * f * (1.0 - f) * m).astype(sdt)
+    dxw_ref[u, :, 2 * H : 3 * H] = (
+        (dc_t * i) * (1.0 - g * g) * m).astype(sdt)
+    dxw_ref[u, :, 3 * H :] = (do * o * (1.0 - o) * m).astype(sdt)
+    dgates = dxw_ref[u]
+
+    # dwh += h_prev^T @ dgates (batch axis contracted, no transpose).
+    dwh_c = jax.lax.dot_general(
+        h_prev.astype(dtype), dgates.astype(dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # d h_prev = dgates @ wh^T (4H axes contracted). Invalid steps pass
+    # dh/dc straight through.
+    dh_rec = jax.lax.dot_general(
+        dgates.astype(dtype), wh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_carry = dh_rec + (1.0 - m) * dh
+    dc_carry = m * (dc_t * f) + (1.0 - m) * dc
+    return dh_carry, dc_carry, dwh_c
+
+
 def _bwd_kernel(
     xw_ref, mask_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_next_ref, dys_ref,
     dxw_ref, dwh_ref,
@@ -240,7 +306,6 @@ def _bwd_kernel(
         dwh_ref[:] = jnp.zeros_like(dwh_ref)
 
     wh = wh_ref[:]
-    H = dh_ref.shape[-1]
     dh_carry = dh_ref[:]
     dc_carry = dc_ref[:]
     dwh_acc = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
@@ -249,60 +314,115 @@ def _bwd_kernel(
         c_prev = cs_prev_ref[u].astype(jnp.float32)
         c_t = (cs_prev_ref[u + 1] if u + 1 < unroll
                else cs_next_ref[0]).astype(jnp.float32)
-
-        gates = xw_ref[u].astype(jnp.float32) + jnp.dot(
-            h_prev.astype(dtype), wh, preferred_element_type=jnp.float32
+        dh_carry, dc_carry, dwh_c = _bptt_frame(
+            xw_ref, mask_ref, dys_ref, dxw_ref, wh, u,
+            h_prev, c_prev, c_t, dh_carry, dc_carry, dtype=dtype,
         )
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H : 2 * H])
-        g = jnp.tanh(gates[:, 2 * H : 3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H :])
-        tanh_c = jnp.tanh(c_t)
+        dwh_acc += dwh_c
+    dh_ref[:] = dh_carry
+    dc_ref[:] = dc_carry
+    dwh_ref[:] += dwh_acc
 
-        m = mask_ref[u, 0].astype(jnp.float32)[:, None]
-        dh = dh_carry + dys_ref[u].astype(jnp.float32)
-        dc = dc_carry
 
-        # Write each gate slice straight into dxw_ref (no concat temp).
-        sdt = dxw_ref.dtype
-        do = dh * tanh_c
-        dc_t = dc + dh * o * (1.0 - tanh_c * tanh_c)
-        dxw_ref[u, :, :H] = ((dc_t * g) * i * (1.0 - i) * m).astype(sdt)
-        dxw_ref[u, :, H : 2 * H] = (
-            (dc_t * c_prev) * f * (1.0 - f) * m).astype(sdt)
-        dxw_ref[u, :, 2 * H : 3 * H] = (
-            (dc_t * i) * (1.0 - g * g) * m).astype(sdt)
-        dxw_ref[u, :, 3 * H :] = (do * o * (1.0 - o) * m).astype(sdt)
-        dgates = dxw_ref[u]
+def _bwd_kernel_rev(
+    xw_ref, mask_ref, wh_ref, ys_a_ref, ys_b_ref, cs_a_ref, cs_b_ref,
+    dys_ref,
+    dxw_ref, dwh_ref,
+    dh_ref, dc_ref,
+    *, dtype, unroll,
+):
+    """BPTT for the REVERSE-direction recurrence. The forward scan walks
+    t = T-1 .. 0, so its BPTT walks t ascending: grid blocks front-to-back,
+    frames within a block front-to-back, dh/dc carried from frame t to its
+    scan-predecessor t+1.
 
-        # dwh += h_prev^T @ dgates (batch axis contracted, no transpose).
-        dwh_acc += jax.lax.dot_general(
-            h_prev.astype(dtype), dgates.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    State alignment mirrors _bwd_kernel: states are padded as
+    [ys ; 0 ; slack] (row r < T holds the state AFTER frame r; rows >= T
+    are the zero initial state of the reverse scan). The scan-predecessor
+    state of frame t is row t+1 — block A (rows kU..kU+U-1) covers it for
+    u < U-1, block B (the next block) row 0 covers u = U-1. The current
+    cell state c_t is block A row u."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+
+    wh = wh_ref[:]
+    dh_carry = dh_ref[:]
+    dc_carry = dc_ref[:]
+    dwh_acc = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
+    for u in range(unroll):
+        h_prev = ys_a_ref[u + 1] if u + 1 < unroll else ys_b_ref[0]
+        c_prev = (cs_a_ref[u + 1] if u + 1 < unroll
+                  else cs_b_ref[0]).astype(jnp.float32)
+        c_t = cs_a_ref[u].astype(jnp.float32)
+        dh_carry, dc_carry, dwh_c = _bptt_frame(
+            xw_ref, mask_ref, dys_ref, dxw_ref, wh, u,
+            h_prev, c_prev, c_t, dh_carry, dc_carry, dtype=dtype,
         )
-        # dh_{t-1} = dgates @ wh^T (4H axes contracted). Invalid steps pass
-        # dh/dc straight through.
-        dh_rec = jax.lax.dot_general(
-            dgates.astype(dtype), wh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dh_carry = dh_rec + (1.0 - m) * dh
-        dc_carry = m * (dc_t * f) + (1.0 - m) * dc
+        dwh_acc += dwh_c
     dh_ref[:] = dh_carry
     dc_ref[:] = dc_carry
     dwh_ref[:] += dwh_acc
 
 
 def _lstm_bwd_local(
-    xw, mask, wh, ys, cs, dys, *, dtype, interpret: bool = False
+    xw, mask, wh, ys, cs, dys, *, dtype, interpret: bool = False,
+    reverse: bool = False,
 ):
     T, B, H4 = xw.shape
     H = H4 // 4
     sdt = xw.dtype
     U = _pick_unroll(T, B * (2 * H4 + 4 * H) * sdt.itemsize + 4 * B)
     nblk = T // U
+
+    if reverse:
+        # Reverse-direction BPTT (see _bwd_kernel_rev): states padded as
+        # [ys ; U zero rows] so the scan-predecessor of frame t is row t+1
+        # and block k+1 always exists.
+        tail = jnp.zeros((U, B, H), ys.dtype)
+        ys_pad = jnp.concatenate([ys, tail], axis=0)  # [T+U, B, H]
+        cs_pad = jnp.concatenate([cs, tail], axis=0)
+        kernel = functools.partial(_bwd_kernel_rev, dtype=dtype, unroll=U)
+        fwdm = lambda k: (k, 0, 0)  # noqa: E731 (block units)
+        nxt = lambda k: (k + 1, 0, 0)  # noqa: E731
+        dxw, dwh = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((U, B, H4), fwdm, memory_space=pltpu.VMEM),  # xw
+                pl.BlockSpec((U, 1, B), fwdm, memory_space=pltpu.VMEM),  # mask
+                pl.BlockSpec((H, H4), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),  # wh
+                pl.BlockSpec((U, B, H), fwdm, memory_space=pltpu.VMEM),  # ys_a
+                pl.BlockSpec((U, B, H), nxt, memory_space=pltpu.VMEM),  # ys_b
+                pl.BlockSpec((U, B, H), fwdm, memory_space=pltpu.VMEM),  # cs_a
+                pl.BlockSpec((U, B, H), nxt, memory_space=pltpu.VMEM),  # cs_b
+                pl.BlockSpec((U, B, H), fwdm, memory_space=pltpu.VMEM),  # dys
+            ],
+            out_specs=[
+                pl.BlockSpec((U, B, H4), fwdm, memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, H4), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, B, H4), sdt),
+                jax.ShapeDtypeStruct((H, H4), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((B, H), jnp.float32),
+                pltpu.VMEM((B, H), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xw, mask, wh, ys_pad, ys_pad, cs_pad, cs_pad, dys)
+        return dxw, dwh
+
     # Pad states so every block (incl. cs_next for the last processed
     # frame) exists: row 0 is the zero initial state, rows 1..T the saved
     # states, then U-1 slack rows (never read as values that matter).
@@ -357,33 +477,41 @@ def _lstm_bwd_local(
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper — drop-in for the scan recurrence
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def lstm_recurrence_pallas(xw, mask, wh, dtype=jnp.float32, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def lstm_recurrence_pallas(xw, mask, wh, dtype=jnp.float32, interpret=False,
+                           reverse=False):
     """Masked LSTM recurrence over precomputed gate inputs.
 
     xw: [T, B, 4H] in the stream dtype (f32 or bf16); mask: [T, 1, B] f32;
     wh: [H, 4H] (any float dtype). Returns ys: [T, B, H] hidden states in
     xw's dtype; gradients dxw come back in the same dtype.
+
+    ``reverse`` runs the recurrence back-to-front over time INSIDE the
+    kernels (reversed BlockSpec index maps) — inputs and outputs stay in
+    natural time order, so callers never pay flip passes over xw/ys or
+    their cotangents.
     """
     ys, _ = _lstm_fwd_pallas(
         xw, mask, wh.astype(dtype), dtype=dtype, interpret=interpret,
         save_cell=False,  # primal = inference path; bwd uses _fwd_rule
+        reverse=reverse,
     )
     return ys
 
 
-def _fwd_rule(xw, mask, wh, dtype, interpret):
+def _fwd_rule(xw, mask, wh, dtype, interpret, reverse):
     ys, cs = _lstm_fwd_pallas(
-        xw, mask, wh.astype(dtype), dtype=dtype, interpret=interpret
+        xw, mask, wh.astype(dtype), dtype=dtype, interpret=interpret,
+        reverse=reverse,
     )
     return ys, (xw, mask, wh, ys, cs)
 
 
-def _bwd_rule(dtype, interpret, residuals, dys):
+def _bwd_rule(dtype, interpret, reverse, residuals, dys):
     xw, mask, wh, ys, cs = residuals
     dxw, dwh = _lstm_bwd_pallas(
         xw, mask, wh.astype(dtype), ys, cs, dys.astype(ys.dtype),
-        dtype=dtype, interpret=interpret,
+        dtype=dtype, interpret=interpret, reverse=reverse,
     )
     return dxw, None, dwh.astype(wh.dtype)
 
@@ -419,39 +547,33 @@ def lstm_layer_pallas(
     # thunk rejects bf16xbf16->f32 with a transposed output, so the
     # interpret-mode path keeps plain dot + swapaxes.)
     #
-    # Reverse direction: time-flip X (and mask) BEFORE the projection —
-    # the flip commutes with the per-frame matmul, and flipping [T,B,D]
-    # moves 4x fewer bytes than flipping xw [T,B,4H] (same for the
-    # cotangent flips in the backward).
+    # Reverse direction runs INSIDE the kernels (reversed BlockSpec index
+    # maps) — no jnp.flip of x/xw/mask/ys, so the layer never pays the
+    # full-tensor HBM flip passes (nor their cotangent flips in the
+    # backward) the flip-based formulation cost.
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if not time_major:
         x = jnp.swapaxes(x, 0, 1) if not on_tpu else x
     m = (mask if time_major else jnp.swapaxes(mask, 0, 1)).astype(
         jnp.float32)[:, None, :]  # [T, 1, B]
-    if reverse:
-        m = jnp.flip(m, axis=0)
     if on_tpu and not time_major:
-        xr = jnp.flip(x, axis=1) if reverse else x  # [B, T, D]
         xw = jnp.einsum(
-            "btd,dg->tbg", xr.astype(dtype), wx.astype(dtype),
+            "btd,dg->tbg", x.astype(dtype), wx.astype(dtype),
             preferred_element_type=jnp.float32,
         )
     else:
         # here x is [T, B, D]
-        xr = jnp.flip(x, axis=0) if reverse else x
         if on_tpu:
             xw = jnp.einsum(
-                "tbd,dg->tbg", xr.astype(dtype), wx.astype(dtype),
+                "tbd,dg->tbg", x.astype(dtype), wx.astype(dtype),
                 preferred_element_type=jnp.float32,
             )
         else:
             xw = jnp.dot(
-                xr.astype(dtype), wx.astype(dtype),
+                x.astype(dtype), wx.astype(dtype),
                 preferred_element_type=jnp.float32,
             )
     xw = (xw + b.astype(jnp.float32)).astype(dtype)  # [T, B, 4H]
-    ys = lstm_recurrence_pallas(xw, m, wh, dtype, interpret)
-    if reverse:
-        ys = jnp.flip(ys, axis=0)
+    ys = lstm_recurrence_pallas(xw, m, wh, dtype, interpret, reverse)
     return ys if time_major else jnp.swapaxes(ys, 0, 1)
 
