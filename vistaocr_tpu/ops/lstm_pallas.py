@@ -279,23 +279,25 @@ def _bptt_frame(xw_ref, mask_ref, dys_ref, dxw_ref, wh, u,
 
 
 def _bwd_kernel(
-    xw_ref, mask_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_next_ref, dys_ref,
+    xw_ref, mask_ref, wh_ref, ys_a_ref, ys_e_ref, cs_a_ref, cs_e_ref,
+    dys_ref,
     dxw_ref, dwh_ref,
     dh_ref, dc_ref,
-    *, dtype, unroll,
+    *, dtype, unroll, nblk,
 ):
     """Grid runs blocks of ``unroll`` frames in reverse time order,
     recomputing gate activations from xw and the saved states, then
     backpropagating.
 
-    State plumbing under unrolling: the zero-padded state arrays are passed
-    as two ALIGNED blocks — ys_prev/cs_prev cover padded rows
-    [t0 .. t0+U-1] (the PREVIOUS state for each frame in the block), and
-    cs_next covers rows [t0+U .. t0+2U-1] whose first row is the current
-    state of the block's newest frame. Current state of frame u is then
-    cs_prev[u+1] for u < U-1 and cs_next[0] for u = U-1 — all static
-    slices (BlockSpec index maps are in block units, so overlapping
-    windows cannot be expressed in one spec).
+    State plumbing under unrolling: ys/cs are read UNPADDED (row r holds
+    the state after frame r). Within block b0 = nblk-1-k, frame u's
+    previous state is row b0*U+u-1 — covered by the aligned block for
+    u > 0 and by a one-row "edge" block at row b0*U-1 for u = 0 (block
+    index maps can't express overlapping windows, but a second input
+    with a 1-row block can). At b0 == 0 the edge row would be row -1,
+    the zero initial state: the map clamps to row 0 and the kernel
+    selects zeros instead. This replaces the old concat-padded copies of
+    ys/cs — two full HBM read+write passes over the layer's residuals.
     """
     k = pl.program_id(0)
 
@@ -309,11 +311,16 @@ def _bwd_kernel(
     dh_carry = dh_ref[:]
     dc_carry = dc_ref[:]
     dwh_acc = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
+    edge = k == nblk - 1  # b0 == 0: previous state is the zero init
     for u in reversed(range(unroll)):
-        h_prev = ys_prev_ref[u]
-        c_prev = cs_prev_ref[u].astype(jnp.float32)
-        c_t = (cs_prev_ref[u + 1] if u + 1 < unroll
-               else cs_next_ref[0]).astype(jnp.float32)
+        if u > 0:
+            h_prev = ys_a_ref[u - 1]
+            c_prev = cs_a_ref[u - 1].astype(jnp.float32)
+        else:
+            h_prev = jnp.where(edge, jnp.zeros_like(ys_e_ref[0]),
+                               ys_e_ref[0])
+            c_prev = jnp.where(edge, 0.0, cs_e_ref[0].astype(jnp.float32))
+        c_t = cs_a_ref[u].astype(jnp.float32)
         dh_carry, dc_carry, dwh_c = _bptt_frame(
             xw_ref, mask_ref, dys_ref, dxw_ref, wh, u,
             h_prev, c_prev, c_t, dh_carry, dc_carry, dtype=dtype,
@@ -325,23 +332,22 @@ def _bwd_kernel(
 
 
 def _bwd_kernel_rev(
-    xw_ref, mask_ref, wh_ref, ys_a_ref, ys_b_ref, cs_a_ref, cs_b_ref,
+    xw_ref, mask_ref, wh_ref, ys_a_ref, ys_e_ref, cs_a_ref, cs_e_ref,
     dys_ref,
     dxw_ref, dwh_ref,
     dh_ref, dc_ref,
-    *, dtype, unroll,
+    *, dtype, unroll, nblk,
 ):
     """BPTT for the REVERSE-direction recurrence. The forward scan walks
     t = T-1 .. 0, so its BPTT walks t ascending: grid blocks front-to-back,
     frames within a block front-to-back, dh/dc carried from frame t to its
     scan-predecessor t+1.
 
-    State alignment mirrors _bwd_kernel: states are padded as
-    [ys ; 0 ; slack] (row r < T holds the state AFTER frame r; rows >= T
-    are the zero initial state of the reverse scan). The scan-predecessor
-    state of frame t is row t+1 — block A (rows kU..kU+U-1) covers it for
-    u < U-1, block B (the next block) row 0 covers u = U-1. The current
-    cell state c_t is block A row u."""
+    State plumbing mirrors _bwd_kernel, unpadded: the scan-predecessor
+    state of frame t is row t+1 — the aligned block covers it for
+    u < U-1, a one-row edge block at row (k+1)*U covers u = U-1. At
+    k == nblk-1 that row would be row T, the zero initial state of the
+    reverse scan: the map clamps and the kernel selects zeros."""
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -354,10 +360,15 @@ def _bwd_kernel_rev(
     dh_carry = dh_ref[:]
     dc_carry = dc_ref[:]
     dwh_acc = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
+    edge = k == nblk - 1  # predecessor is the reverse scan's zero init
     for u in range(unroll):
-        h_prev = ys_a_ref[u + 1] if u + 1 < unroll else ys_b_ref[0]
-        c_prev = (cs_a_ref[u + 1] if u + 1 < unroll
-                  else cs_b_ref[0]).astype(jnp.float32)
+        if u + 1 < unroll:
+            h_prev = ys_a_ref[u + 1]
+            c_prev = cs_a_ref[u + 1].astype(jnp.float32)
+        else:
+            h_prev = jnp.where(edge, jnp.zeros_like(ys_e_ref[0]),
+                               ys_e_ref[0])
+            c_prev = jnp.where(edge, 0.0, cs_e_ref[0].astype(jnp.float32))
         c_t = cs_a_ref[u].astype(jnp.float32)
         dh_carry, dc_carry, dwh_c = _bptt_frame(
             xw_ref, mask_ref, dys_ref, dxw_ref, wh, u,
@@ -379,80 +390,43 @@ def _lstm_bwd_local(
     U = _pick_unroll(T, B * (2 * H4 + 4 * H) * sdt.itemsize + 4 * B)
     nblk = T // U
 
+    # Both directions read ys/cs UNPADDED: an aligned (U,B,H) block plus a
+    # one-row "edge" block for the state row that falls outside it (see
+    # the kernel docstrings). The old formulation concatenated zero rows
+    # around ys/cs — two full HBM read+write passes over the layer's
+    # largest residuals per backward.
     if reverse:
-        # Reverse-direction BPTT (see _bwd_kernel_rev): states padded as
-        # [ys ; U zero rows] so the scan-predecessor of frame t is row t+1
-        # and block k+1 always exists.
-        tail = jnp.zeros((U, B, H), ys.dtype)
-        ys_pad = jnp.concatenate([ys, tail], axis=0)  # [T+U, B, H]
-        cs_pad = jnp.concatenate([cs, tail], axis=0)
-        kernel = functools.partial(_bwd_kernel_rev, dtype=dtype, unroll=U)
-        fwdm = lambda k: (k, 0, 0)  # noqa: E731 (block units)
-        nxt = lambda k: (k + 1, 0, 0)  # noqa: E731
-        dxw, dwh = pl.pallas_call(
-            kernel,
-            grid=(nblk,),
-            in_specs=[
-                pl.BlockSpec((U, B, H4), fwdm, memory_space=pltpu.VMEM),  # xw
-                pl.BlockSpec((U, 1, B), fwdm, memory_space=pltpu.VMEM),  # mask
-                pl.BlockSpec((H, H4), lambda k: (0, 0),
-                             memory_space=pltpu.VMEM),  # wh
-                pl.BlockSpec((U, B, H), fwdm, memory_space=pltpu.VMEM),  # ys_a
-                pl.BlockSpec((U, B, H), nxt, memory_space=pltpu.VMEM),  # ys_b
-                pl.BlockSpec((U, B, H), fwdm, memory_space=pltpu.VMEM),  # cs_a
-                pl.BlockSpec((U, B, H), nxt, memory_space=pltpu.VMEM),  # cs_b
-                pl.BlockSpec((U, B, H), fwdm, memory_space=pltpu.VMEM),  # dys
-            ],
-            out_specs=[
-                pl.BlockSpec((U, B, H4), fwdm, memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, H4), lambda k: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((T, B, H4), sdt),
-                jax.ShapeDtypeStruct((H, H4), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((B, H), jnp.float32),
-                pltpu.VMEM((B, H), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024,
-            ),
-            interpret=interpret,
-        )(xw, mask, wh, ys_pad, ys_pad, cs_pad, cs_pad, dys)
-        return dxw, dwh
+        kernel = functools.partial(_bwd_kernel_rev, dtype=dtype, unroll=U,
+                                   nblk=nblk)
+        blkm = lambda k: (k, 0, 0)  # noqa: E731 (block units)
+        # Edge row (k+1)*U in ROW units (block shape (1,B,H)); clamped at
+        # the last grid step, where the kernel selects zeros instead.
+        edgem = lambda k: (jnp.minimum((k + 1) * U, T - 1), 0, 0)  # noqa: E731
+    else:
+        kernel = functools.partial(_bwd_kernel, dtype=dtype, unroll=U,
+                                   nblk=nblk)
+        blkm = lambda k: (nblk - 1 - k, 0, 0)  # noqa: E731 (block units)
+        # Edge row b0*U - 1 in ROW units; clamped at b0 == 0 (zero init).
+        edgem = lambda k: (  # noqa: E731
+            jnp.maximum((nblk - 1 - k) * U - 1, 0), 0, 0)
 
-    # Pad states so every block (incl. cs_next for the last processed
-    # frame) exists: row 0 is the zero initial state, rows 1..T the saved
-    # states, then U-1 slack rows (never read as values that matter).
-    zrow = jnp.zeros((1, B, H), ys.dtype)
-    slack = jnp.zeros((U - 1, B, H), ys.dtype) if U > 1 else None
-    parts = [zrow, ys] + ([slack] if slack is not None else [])
-    ys_pad = jnp.concatenate(parts, axis=0)  # [T+U, B, H]
-    parts = [zrow, cs] + ([slack] if slack is not None else [])
-    cs_pad = jnp.concatenate(parts, axis=0)
-
-    kernel = functools.partial(_bwd_kernel, dtype=dtype, unroll=U)
-    rev = lambda k: (nblk - 1 - k, 0, 0)  # noqa: E731 (block units)
-
+    estate = pl.BlockSpec((1, B, H), edgem, memory_space=pltpu.VMEM)
+    astate = pl.BlockSpec((U, B, H), blkm, memory_space=pltpu.VMEM)
     dxw, dwh = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((U, B, H4), rev, memory_space=pltpu.VMEM),  # xw
-            pl.BlockSpec((U, 1, B), rev, memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec((U, B, H4), blkm, memory_space=pltpu.VMEM),  # xw
+            pl.BlockSpec((U, 1, B), blkm, memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec((H, H4), lambda k: (0, 0), memory_space=pltpu.VMEM),  # wh
-            # padded row for real time t is t+1; block b0 = nblk-1-k covers
-            # prev-state rows [b0*U .. b0*U+U-1]; cs_next starts one block on
-            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),  # ys_prev
-            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),  # cs_prev
-            pl.BlockSpec((U, B, H), lambda k: (nblk - k, 0, 0),
-                         memory_space=pltpu.VMEM),  # cs_next
-            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),  # dys
+            astate,  # ys aligned
+            estate,  # ys edge row
+            astate,  # cs aligned
+            estate,  # cs edge row
+            pl.BlockSpec((U, B, H), blkm, memory_space=pltpu.VMEM),  # dys
         ],
         out_specs=[
-            pl.BlockSpec((U, B, H4), rev, memory_space=pltpu.VMEM),  # dxw
+            pl.BlockSpec((U, B, H4), blkm, memory_space=pltpu.VMEM),  # dxw
             pl.BlockSpec((H, H4), lambda k: (0, 0), memory_space=pltpu.VMEM),  # dwh
         ],
         out_shape=[
@@ -470,7 +444,7 @@ def _lstm_bwd_local(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xw, mask, wh, ys_pad, cs_pad, cs_pad, dys)
+    )(xw, mask, wh, ys, ys, cs, cs, dys)
     return dxw, dwh
 
 
