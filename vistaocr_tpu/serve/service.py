@@ -28,6 +28,7 @@ import dataclasses
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import List, Optional, Sequence
 
@@ -59,6 +60,12 @@ class ServiceConfig:
     # interleaved LM fusion, but bound by the one host core (measured 150
     # vs 1132 greedy lines/s/chip in round 2).
     beam_impl: str = "device"  # device | host
+    # Batches a bucket worker keeps in flight on the device before it
+    # blocks on the oldest one's readback. Depth 1 = round-trip-bound
+    # (measured 455 lines/s at max_batch=32: 32 lines per ~70 ms relay
+    # round trip); depth 2+ hides each batch's D2H behind the next
+    # batch's host assembly + dispatch. Latency cap ≈ depth batch-times.
+    pipeline_depth: int = 2
     lm_path: Optional[str] = None
     # On-device height normalization (ops/resize.py): requests at
     # non-contract heights are resized INSIDE the per-bucket graph; the
@@ -389,12 +396,22 @@ class OcrService:
             self._finalize(self._dispatch(images, widths), valid, 1)
 
     def _bucket_loop(self, bucket_idx: int):
+        """Online worker: assemble → dispatch up to ``pipeline_depth``
+        batches before blocking on the oldest readback, so the relay's
+        per-batch D2H round trip overlaps the next batch's host assembly
+        and device compute instead of serializing the bucket. With work
+        in flight the queue poll shortens to 1 ms so an idle queue drains
+        results promptly (low-load latency stays ~one batch time)."""
         q = self._queues[bucket_idx]
         cfg = self.config
+        depth = max(1, cfg.pipeline_depth)
+        inflight: deque = deque()  # dispatched, not yet finalized
         while not self._stop.is_set():
             try:
-                first = q.get(timeout=0.05)
+                first = q.get(timeout=0.001 if inflight else 0.05)
             except queue.Empty:
+                while inflight:
+                    self._complete_batch(inflight.popleft())
                 continue
             batch = [first]
             deadline = time.time() + cfg.max_wait_ms / 1000.0
@@ -409,10 +426,15 @@ class OcrService:
             # contract-height and raw requests run different graphs
             norm = [p for p in batch if not p.raw]
             rawl = [p for p in batch if p.raw]
-            if norm:
-                self._run_batch(bucket_idx, norm, raw=False)
-            if rawl:
-                self._run_batch(bucket_idx, rawl, raw=True)
+            for plist, is_raw in ((norm, False), (rawl, True)):
+                if plist:
+                    ctx = self._start_batch(bucket_idx, plist, raw=is_raw)
+                    if ctx is not None:
+                        inflight.append(ctx)
+            while len(inflight) > depth:
+                self._complete_batch(inflight.popleft())
+        while inflight:
+            self._complete_batch(inflight.popleft())
 
     def _assemble(self, bucket_idx: int, pendings: List[_Pending]):
         """Pad a pending list into the bucket's static batch shape."""
@@ -468,28 +490,39 @@ class OcrService:
                 )
             )
 
-    def _run_batch(self, bucket_idx: int, pendings: List[_Pending],
-                   raw: bool = False):
+    def _start_batch(self, bucket_idx: int, pendings: List[_Pending],
+                     raw: bool = False):
+        """Assemble + dispatch one batch (device work starts now) and kick
+        off its async D2H copy. Returns a context for ``_complete_batch``,
+        or None if dispatch failed (futures already resolved with the
+        error). Only graph DISPATCH holds the device lock (execution is
+        stream-ordered); host assembly runs outside so it never
+        serializes other buckets' device work."""
         n = len(pendings)
-        B = self.config.max_batch
-        valid = np.arange(B) < n
-
+        valid = np.arange(self.config.max_batch) < n
         try:
-            # Only graph DISPATCH needs the device lock (execution is
-            # stream-ordered); host assembly + finalize — heavy for
-            # host-beam — run outside so they never serialize other
-            # buckets' device work.
             assembled = self._assemble_chunk(bucket_idx, pendings, raw)
             with self._lock:
                 handle = self._dispatch_assembled(assembled, raw)
-            hyps = self._finalize(handle, valid, n)
+            self._prefetch_handle(handle)
         except Exception as e:  # resolve futures with the error, don't hang
             for p in pendings:
                 p.future.set_exception(e)
-            return
+            return None
+        return (bucket_idx, pendings, handle, valid, n)
 
+    def _complete_batch(self, ctx) -> None:
+        """Finalize a dispatched batch (blocks on its readback) and
+        resolve its futures."""
+        bucket_idx, pendings, handle, valid, n = ctx
+        try:
+            hyps = self._finalize(handle, valid, n)
+        except Exception as e:
+            for p in pendings:
+                p.future.set_exception(e)
+            return
         self._resolve(bucket_idx, pendings, hyps)
         with self._stats_lock:
             self.stats["lines"] += n
             self.stats["batches"] += 1
-            self.stats["pad_waste"] += B - n
+            self.stats["pad_waste"] += self.config.max_batch - n
