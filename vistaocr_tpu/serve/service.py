@@ -66,6 +66,15 @@ class ServiceConfig:
     # round trip); depth 2+ hides each batch's D2H behind the next
     # batch's host assembly + dispatch. Latency cap ≈ depth batch-times.
     pipeline_depth: int = 2
+    # Compiled batch sizes per bucket. A partial flush (deadline hit with
+    # n < max_batch lines) runs the SMALLEST compiled size >= n instead of
+    # the full max_batch graph — at max_batch=128 an 8-line flush
+    # otherwise burns 16x its compute on pad slots (measured 104 lines/s
+    # under an 8-client flood). () derives a x4 ladder: 8, 32, 128, ...
+    # capped at max_batch. Every size is a separate compiled graph per
+    # bucket (warmed up front; the persistent compile cache makes that a
+    # one-time cost per machine).
+    batch_sizes: Sequence[int] = ()
     lm_path: Optional[str] = None
     # On-device height normalization (ops/resize.py): requests at
     # non-contract heights are resized INSIDE the per-bucket graph; the
@@ -209,6 +218,16 @@ class OcrService:
         self._char_of = {
             t: uxxxx_to_utf8(t) for t in self.alphabet.tokens
         }
+        if config.batch_sizes:
+            sizes = sorted({min(int(s), config.max_batch)
+                            for s in config.batch_sizes})
+        else:
+            sizes, s = [], 8
+            while s < config.max_batch:
+                sizes.append(s)
+                s *= 4
+            sizes.append(config.max_batch)
+        self._batch_sizes = tuple(sizes)
         self._queues: List[queue.Queue] = [
             queue.Queue() for _ in self.contract.bucket_widths
         ]
@@ -284,24 +303,24 @@ class OcrService:
                 assembled = self._assemble_chunk(b, chunk, raw)
                 with self._lock:
                     handle = self._dispatch_assembled(assembled, raw)
-                inflight.append((b, chunk, handle))
+                inflight.append((b, chunk, handle, assembled[0].shape[0]))
 
         # Phase 2: start EVERY batch's device->host copy before touching
         # any result: np.asarray on this relay pays a ~75 ms round trip
         # per array, and serializing it per batch was the dominant greedy
         # service cost (7 batches = ~525 ms of pure latency). Async copies
         # overlap to ~one round trip total.
-        for _, _, handle in inflight:
+        for _, _, handle, _ in inflight:
             self._prefetch_handle(handle)
-        for b, chunk, handle in inflight:
+        for b, chunk, handle, B in inflight:
             n = len(chunk)
-            valid = np.arange(self.config.max_batch) < n
+            valid = np.arange(B) < n
             hyps = self._finalize(handle, valid, n)
             self._resolve(b, chunk, hyps)
             with self._stats_lock:
                 self.stats["lines"] += n
                 self.stats["batches"] += 1
-                self.stats["pad_waste"] += self.config.max_batch - n
+                self.stats["pad_waste"] += B - n
         return [p.future.result() for p in pendings]
 
     def close(self):
@@ -386,14 +405,13 @@ class OcrService:
         which otherwise compile inside the first real request per bucket."""
         for i, bw in enumerate(self.contract.bucket_widths):
             spec = BucketSpec.of(self.contract, i)
-            images = np.zeros(
-                (self.config.max_batch, spec.height, spec.width), np.uint8
-            )
-            widths = np.full((self.config.max_batch,), spec.width, np.int32)
-            # Host finalize on one sample is enough — the device graphs
-            # (the compile cost) cover the full batch shape either way.
-            valid = np.arange(self.config.max_batch) < 1
-            self._finalize(self._dispatch(images, widths), valid, 1)
+            for B in self._batch_sizes:
+                images = np.zeros((B, spec.height, spec.width), np.uint8)
+                widths = np.full((B,), spec.width, np.int32)
+                # Host finalize on one sample is enough — the device
+                # graphs (the compile cost) cover the batch shape anyway.
+                valid = np.arange(B) < 1
+                self._finalize(self._dispatch(images, widths), valid, 1)
 
     def _bucket_loop(self, bucket_idx: int):
         """Online worker: assemble → dispatch up to ``pipeline_depth``
@@ -436,11 +454,18 @@ class OcrService:
         while inflight:
             self._complete_batch(inflight.popleft())
 
+    def _bsize_for(self, n: int) -> int:
+        """Smallest compiled batch size that fits n lines."""
+        for s in self._batch_sizes:
+            if s >= n:
+                return s
+        return self._batch_sizes[-1]
+
     def _assemble(self, bucket_idx: int, pendings: List[_Pending]):
-        """Pad a pending list into the bucket's static batch shape."""
+        """Pad a pending list into the smallest compiled batch shape."""
         spec = BucketSpec.of(self.contract, bucket_idx)
         n = len(pendings)
-        B = self.config.max_batch
+        B = self._bsize_for(n)
         images = np.full((B, spec.height, spec.width), 255, np.uint8)
         widths = np.zeros((B,), np.int32)
         for i, p in enumerate(pendings):
@@ -455,7 +480,7 @@ class OcrService:
         [B, MAX_SCALE*H, MAX_SCALE*bucket_w + _RAW_SLACK] + per-sample
         (height, raw width, normalized width)."""
         spec = BucketSpec.of(self.contract, bucket_idx)
-        B = self.config.max_batch
+        B = self._bsize_for(len(pendings))
         cap = MAX_SCALE * spec.height
         wraw = MAX_SCALE * spec.width + _RAW_SLACK
         raw = np.full((B, cap, wraw), 255, np.uint8)
@@ -499,9 +524,9 @@ class OcrService:
         stream-ordered); host assembly runs outside so it never
         serializes other buckets' device work."""
         n = len(pendings)
-        valid = np.arange(self.config.max_batch) < n
         try:
             assembled = self._assemble_chunk(bucket_idx, pendings, raw)
+            valid = np.arange(assembled[0].shape[0]) < n
             with self._lock:
                 handle = self._dispatch_assembled(assembled, raw)
             self._prefetch_handle(handle)
@@ -525,4 +550,4 @@ class OcrService:
         with self._stats_lock:
             self.stats["lines"] += n
             self.stats["batches"] += 1
-            self.stats["pad_waste"] += self.config.max_batch - n
+            self.stats["pad_waste"] += len(valid) - n
