@@ -128,24 +128,29 @@ def main():
 
     t0 = time.time()
     handles = [
-        (b, chunk, svc._dispatch_assembled(a, raw))
+        (b, chunk, svc._dispatch_assembled(a, raw), a[0].shape[0])
         for b, chunk, raw, a in assembled
     ]
     t_dispatch = time.time() - t0
 
     t0 = time.time()
-    for _, _, handle in handles:
+    for _, _, handle, _ in handles:
         data = handle[1]
         fence(data[0] if isinstance(data, tuple) else data)
     t_device = time.time() - t0
 
     t0 = time.time()
     hyps_all = []
-    for b, chunk, handle in handles:
+    for b, chunk, handle, B in handles:
         n = len(chunk)
-        valid = np.arange(args.max_batch) < n
+        valid = np.arange(B) < n
         hyps = svc._finalize(handle, valid, n)
-        hyps_all.extend(uxxxx_to_utf8(h) for h in hyps)
+        # greedy returns raw id rows; map like OcrService._resolve does
+        hyps_all.extend(
+            "".join([svc._chr_list[j] for j in h.tolist()])
+            if isinstance(h, np.ndarray) else uxxxx_to_utf8(h)
+            for h in hyps
+        )
     t_finalize = time.time() - t0
 
     total = t_prep + t_assemble + t_dispatch + t_device + t_finalize
