@@ -157,3 +157,96 @@ class TestService:
             finally:
                 svc.close()
         assert out[True] == out[False], out
+
+    def test_submit_stress_mixed_load(self, snapshot):
+        """Concurrency soak for the pipelined workers + batch-size
+        ladder: many clients flooding submit() with mixed widths,
+        heights (raw + contract), and arrival jitter. Every future must
+        resolve with a correct-shaped result, no deadlocks, and the
+        correct-height lines must still transcribe exactly (the model
+        trained to ~0 CER on this distribution)."""
+        import threading
+
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(
+            max_batch=8, max_wait_ms=3.0, warmup=False, pipeline_depth=3,
+        ))
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=5,
+        )
+        rng = np.random.default_rng(9)
+        jobs = []  # (image, expected_text_or_None)
+        for i in range(48):
+            img, text = gen.sample(height=32, max_width=370)
+            if i % 3 == 2:  # mixed-height (raw/device-resize) requests
+                from PIL import Image
+
+                h = int(rng.integers(24, 48))
+                img = np.asarray(Image.fromarray(img).resize(
+                    (img.shape[1] * h // 32, h), Image.BILINEAR))
+                jobs.append((img, None))
+            else:
+                jobs.append((img, text))
+
+        results: dict = {}
+        errors: list = []
+
+        def client(idxs):
+            try:
+                futs = [(k, svc.submit(jobs[k][0])) for k in idxs]
+                for k, f in futs:
+                    results[k] = f.result(timeout=120)
+            except Exception as e:  # pragma: no cover - failure reporting
+                errors.append(e)
+
+        try:
+            threads = [
+                threading.Thread(target=client, args=(range(c, 48, 4),))
+                for c in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+            assert not errors, errors
+            assert len(results) == 48
+            exact = sum(
+                results[k].text == expect
+                for k, (_, expect) in enumerate(jobs)
+                if expect is not None
+            )
+            checked = sum(1 for _, e in jobs if e is not None)
+            assert exact >= checked - 4, (exact, checked)
+            assert svc.stats["lines"] == 48
+        finally:
+            svc.close()
+
+    def test_mesh_sharded_serving_matches_single_device(self, snapshot):
+        """Data-parallel serving (C18 at serve time): with mesh_data=-1
+        the per-bucket graphs compile under GSPMD with the batch axis
+        split over the ('data',) mesh — transcripts must be identical to
+        single-device serving, and the compiled batch sizes must divide
+        the mesh."""
+        snap, _ = snapshot
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=44,
+        )
+        imgs = [gen.sample(height=32, max_width=370)[0] for _ in range(16)]
+        out = {}
+        for mesh_data in (0, -1):
+            svc = OcrService(snap, ServiceConfig(
+                max_batch=16, warmup=False, mesh_data=mesh_data,
+            ))
+            try:
+                if mesh_data == -1:
+                    n = svc._nshard
+                    assert n > 1  # conftest provides 8 virtual devices
+                    assert all(s % n == 0 for s in svc._batch_sizes)
+                out[mesh_data] = [r.text for r in svc.ocr_lines(imgs)]
+            finally:
+                svc.close()
+        assert out[0] == out[-1]

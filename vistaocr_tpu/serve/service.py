@@ -75,6 +75,14 @@ class ServiceConfig:
     # bucket (warmed up front; the persistent compile cache makes that a
     # one-time cost per machine).
     batch_sizes: Sequence[int] = ()
+    # Data-parallel serving: shard every batch's leading axis over a
+    # ('data',) mesh of local devices — per-bucket graphs compile once
+    # with GSPMD shardings and each chip runs batch/n lines (ICI
+    # collectives only; there are none in the forward, so scaling is
+    # embarrassingly parallel). 0/1 = single-device serving (default);
+    # -1 = all local devices; n = first n. The greedy and device-beam
+    # graphs shard; the host-beam oracle path stays single-device.
+    mesh_data: int = 0
     lm_path: Optional[str] = None
     # On-device height normalization (ops/resize.py): requests at
     # non-contract heights are resized INSIDE the per-bucket graph; the
@@ -137,15 +145,48 @@ class OcrService:
             self.contract = dataclasses.replace(
                 self.contract, bucket_widths=coarse
             )
+        # Data-parallel serving mesh (see ServiceConfig.mesh_data).
+        self._mesh = None
+        self._nshard = 1
+        if config.mesh_data not in (0, 1):
+            from ..parallel.mesh import MeshConfig, make_mesh
+
+            self._mesh = make_mesh(MeshConfig(data=config.mesh_data,
+                                              model=1))
+            self._nshard = self._mesh.shape["data"]
         # Snapshots deserialize to HOST numpy arrays; pin them on device
         # once, or every request re-uploads all weights (measured: 6x the
         # whole service pass on the relay-attached chip).
-        self.variables = jax.device_put(self.variables)
+        if self._mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self.variables = jax.device_put(
+                self.variables, replicated(self._mesh)
+            )
+        else:
+            self.variables = jax.device_put(self.variables)
         self._eval_step = make_eval_step(self.model)
         # Greedy path runs as ONE device program (forward + collapse):
         # on relay-attached TPUs every program call pays a fixed round-trip
         # ack, so fusing halves the per-batch fixed cost.
         model = self.model
+
+        # Under a serving mesh, jit each graph with GSPMD shardings:
+        # params replicated, every batch array split on its leading axis.
+        if self._mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            rep, bsh = replicated(self._mesh), batch_sharding(self._mesh)
+
+            def _jit(fn, n_batch_args):
+                return jax.jit(
+                    fn,
+                    in_shardings=(rep, rep) + (bsh,) * n_batch_args,
+                    out_shardings=bsh,
+                )
+        else:
+            def _jit(fn, n_batch_args):
+                return jax.jit(fn)
 
         def _fused(params, batch_stats, images, widths):
             lp, fm = model.apply(
@@ -154,7 +195,7 @@ class OcrService:
             )
             return greedy_frames(lp, fm)
 
-        self._eval_greedy = jax.jit(_fused)
+        self._eval_greedy = _jit(_fused, 2)
         # Beam path, same shape: ONE device program per batch running
         # preprocess + model + the vectorized beam search + backtrace
         # (BASELINE.json config #5's "fused preprocess + model + beam
@@ -174,7 +215,7 @@ class OcrService:
                 prune_logp=float(bc.prune_logp), all_beams=self._beam_all,
             )
 
-        self._eval_beam = jax.jit(_fused_beam)
+        self._eval_beam = _jit(_fused_beam, 2)
 
         # Raw-input variants: on-device height normalization fused in
         # front of the model (requests at non-contract heights). Per-bucket
@@ -207,9 +248,9 @@ class OcrService:
                 prune_logp=float(bc.prune_logp), all_beams=self._beam_all,
             )
 
-        self._eval_raw = jax.jit(_forward_raw)
-        self._eval_raw_greedy = jax.jit(_raw_greedy)
-        self._eval_raw_beam = jax.jit(_raw_beam)
+        self._eval_raw = _jit(_forward_raw, 4)
+        self._eval_raw_greedy = _jit(_raw_greedy, 4)
+        self._eval_raw_beam = _jit(_raw_beam, 4)
         self._lm = (
             load_lm(config.lm_path, self.alphabet) if config.lm_path else None
         )
@@ -236,7 +277,9 @@ class OcrService:
                 sizes.append(s)
                 s *= 4
             sizes.append(config.max_batch)
-        self._batch_sizes = tuple(sizes)
+        # every compiled size must divide over the serving mesh
+        ns = self._nshard
+        self._batch_sizes = tuple(sorted({-(-s // ns) * ns for s in sizes}))
         self._queues: List[queue.Queue] = [
             queue.Queue() for _ in self.contract.bucket_widths
         ]
@@ -342,9 +385,16 @@ class OcrService:
         """Device-side work for one assembled contract-height batch (call
         under the dispatch lock). Returns an opaque handle for
         ``_finalize``."""
+        if self._mesh is not None:
+            # numpy straight into the sharded jit: GSPMD splits the H2D
+            # across the mesh; a jnp.asarray here would commit to one
+            # device and force a resharding copy.
+            imgs, wids = images_np, widths_np
+        else:
+            imgs, wids = jnp.asarray(images_np), jnp.asarray(widths_np)
         args = (
             self.variables["params"], self.variables["batch_stats"],
-            jnp.asarray(images_np), jnp.asarray(widths_np),
+            imgs, wids,
         )
         if self.config.decoder == "beam":
             if self.config.beam_impl == "device":
@@ -355,10 +405,14 @@ class OcrService:
     def _dispatch_raw(self, raw, heights, widths, new_widths):
         """Device-side work for a raw batch: on-device resize fused in
         front of the model (call under the dispatch lock)."""
+        if self._mesh is not None:
+            batch_args = (raw, heights, widths, new_widths)
+        else:
+            batch_args = (jnp.asarray(raw), jnp.asarray(heights),
+                          jnp.asarray(widths), jnp.asarray(new_widths))
         args = (
             self.variables["params"], self.variables["batch_stats"],
-            jnp.asarray(raw), jnp.asarray(heights), jnp.asarray(widths),
-            jnp.asarray(new_widths),
+            *batch_args,
         )
         if self.config.decoder == "beam":
             if self.config.beam_impl == "device":
