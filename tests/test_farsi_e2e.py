@@ -52,6 +52,39 @@ class TestFarsiEndToEnd:
                             batch_pixels=2**17, log=lambda *a: None)
         assert rep["cer"] < 0.30, rep
 
+    def test_posterior_dump_external_decode(self, farsi_run, tmp_path):
+        """--dump-posteriors exports per-frame log-probs an EXTERNAL
+        decoder can consume (SURVEY.md §3.3 prob-dump surface): greedy
+        decode over the dumped f16 posteriors must reproduce the
+        in-process hypotheses for every line id."""
+        import json
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vistaocr_tpu.decode import greedy_decode
+        from vistaocr_tpu.infer import iter_posteriors, load_posterior_alphabet
+
+        data, run, _ = farsi_run
+        dump = str(tmp_path / "post")
+        hyp_path = str(tmp_path / "hyps.jsonl")
+        run_inference(run + "/best", data, "test", batch_pixels=2**17,
+                      out_path=hyp_path, dump_posteriors=dump,
+                      log=lambda *a: None)
+        inproc = {}
+        with open(hyp_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                inproc[rec["id"]] = rec["hyp_uxxxx"]
+        alphabet = load_posterior_alphabet(dump)
+        offline = {}
+        for lid, lp in iter_posteriors(dump):
+            mask = np.ones((1, lp.shape[0]), bool)
+            offline[lid] = greedy_decode(
+                jnp.asarray(lp[None]), jnp.asarray(mask), alphabet)[0]
+        assert set(offline) == set(inproc)
+        assert offline == inproc
+
     def test_beam_with_farsi_char_lm(self, farsi_run, tmp_path):
         data, run, _ = farsi_run
         ds = ShardedLineDataset(data, "train")

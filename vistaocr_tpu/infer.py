@@ -53,6 +53,88 @@ def _host_prefetch(arrays):
             pass
 
 
+class _PosteriorDumper:
+    """Per-frame posterior export — the reference's lattice/prob-dump
+    surface (SURVEY.md §3.3: decode entry can "dump per-frame
+    posteriors ... for external WFST/n-gram LM decoding"). The rebuild's
+    LM fusion is in-process, but the export path stays so external
+    tooling (WFST decoders, rescoring experiments, error analysis) can
+    consume the model's outputs without re-running the TPU.
+
+    Layout: <dir>/meta.json (alphabet + provenance) and one
+    posteriors_<n>.npz per batch: ids (valid rows only), frames, and
+    f16 log_probs trimmed to the batch's max valid frame count.
+    Consume with ``iter_posteriors``.
+    """
+
+    def __init__(self, out_dir, alphabet, snapshot, split, ds):
+        import os
+
+        self.dir = out_dir
+        self.ds = ds
+        self.n = 0
+        self.q = []
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump({
+                "format": "vistaocr_tpu.posteriors.v1",
+                "alphabet": json.loads(alphabet.to_json()),
+                "snapshot": snapshot,
+                "split": split,
+            }, f, ensure_ascii=False)
+
+    def add(self, batch, log_probs, frame_mask):
+        _host_prefetch((log_probs, frame_mask))
+        self.q.append((batch.indices, batch.valid, log_probs, frame_mask))
+
+    def flush_one(self):
+        import os
+
+        indices, valid, log_probs, frame_mask = self.q.pop(0)
+        lp = np.asarray(log_probs)
+        frames = np.asarray(frame_mask).sum(axis=1).astype(np.int32)
+        keep = np.flatnonzero(np.asarray(valid))
+        if keep.size == 0:
+            return
+        frames = frames[keep]
+        fmax = int(frames.max())
+        np.savez_compressed(
+            os.path.join(self.dir, f"posteriors_{self.n:05d}.npz"),
+            ids=np.array([self.ds[int(indices[i])].id for i in keep]),
+            frames=frames,
+            log_probs=lp[keep, :fmax].astype(np.float16),
+        )
+        self.n += 1
+
+    def close(self):
+        while self.q:
+            self.flush_one()
+
+
+def iter_posteriors(dump_dir):
+    """Yield ``(line_id, log_probs[T, V] float32)`` from a
+    ``--dump-posteriors`` directory, trimmed to each line's true frame
+    count. Pairs with ``load_posterior_alphabet``."""
+    import glob
+    import os
+
+    for path in sorted(glob.glob(os.path.join(dump_dir, "posteriors_*.npz"))):
+        with np.load(path) as z:
+            ids, frames, lp = z["ids"], z["frames"], z["log_probs"]
+            for i in range(len(ids)):
+                yield str(ids[i]), lp[i, : int(frames[i])].astype(np.float32)
+
+
+def load_posterior_alphabet(dump_dir):
+    import os
+
+    from .text import Alphabet
+
+    with open(os.path.join(dump_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return Alphabet.from_json(json.dumps(meta["alphabet"]))
+
+
 def run_inference(
     snapshot: str,
     data_dir: str,
@@ -67,6 +149,7 @@ def run_inference(
     lm_path: Optional[str] = None,
     lm_alpha: float = 0.5,
     lm_beta: float = 0.0,
+    dump_posteriors: Optional[str] = None,
     log=print,
 ) -> dict:
     from .decode import BeamConfig, beam_decode, load_lm
@@ -104,6 +187,10 @@ def run_inference(
         beam_config = BeamConfig(
             lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta
         )
+    dumper = (
+        _PosteriorDumper(dump_posteriors, alphabet, snapshot, split, ds)
+        if dump_posteriors else None
+    )
 
     hyps, refs, ids = [], [], []
     t0 = time.time()
@@ -136,6 +223,10 @@ def run_inference(
             )
             pre = prog(log_probs, frame_mask)
             _host_prefetch(pre)
+            if dumper:
+                dumper.add(batch, log_probs, frame_mask)
+                if len(dumper.q) >= _INFLIGHT_WINDOW:
+                    dumper.flush_one()
             inflight.append((batch.indices, batch.valid, pre))
             if len(inflight) >= _INFLIGHT_WINDOW:
                 finalize(inflight.popleft())
@@ -161,6 +252,10 @@ def run_inference(
             )
             if k is None:
                 k = min(beam_config.topk, log_probs.shape[-1])
+            if dumper:
+                dumper.add(batch, log_probs, frame_mask)
+                if len(dumper.q) >= _INFLIGHT_WINDOW:
+                    dumper.flush_one()
             # keep only what finalize needs — dropping the batch object
             # frees its device-resident images as soon as the step retires
             inflight.append((batch.indices, batch.valid, log_probs,
@@ -190,11 +285,17 @@ def run_inference(
             )
             pre = greedy_frames(log_probs, frame_mask)
             _host_prefetch((pre,))
+            if dumper:
+                dumper.add(batch, log_probs, frame_mask)
+                if len(dumper.q) >= _INFLIGHT_WINDOW:
+                    dumper.flush_one()
             inflight.append((batch.indices, batch.valid, batch.size, pre))
             if len(inflight) >= _INFLIGHT_WINDOW:
                 finalize(inflight.popleft())
         while inflight:
             finalize(inflight.popleft())
+    if dumper:
+        dumper.close()
     dt = max(time.time() - t0, 1e-9)
     c, w = cer_wer(hyps, refs)
     report = {
@@ -235,6 +336,10 @@ def main(argv=None):
     p.add_argument("--beam-impl", choices=("device", "host"), default="device",
                    help="beam engine: vectorized on-TPU search (device) or "
                         "the host C++/Python oracle expansion (host)")
+    p.add_argument("--dump-posteriors", default=None, metavar="DIR",
+                   help="also export per-frame log-probs (f16 npz per "
+                        "batch + alphabet meta) for external decoding/"
+                        "rescoring — the reference's prob-dump surface")
     p.add_argument("--lm", default=None, help="ARPA LM path for beam fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--lm-beta", type=float, default=0.0)
@@ -248,6 +353,7 @@ def main(argv=None):
         eval_align=args.eval_align,
         decoder=args.decoder, beam_impl=args.beam_impl, lm_path=args.lm,
         lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
+        dump_posteriors=args.dump_posteriors,
     )
 
 
