@@ -169,6 +169,9 @@ class ShardedLineDataset:
     def transcript(self, i: int) -> str:
         return self._index[i][4]
 
+    def ids(self) -> List[str]:
+        return [e[3] for e in self._index]
+
     def transcripts(self) -> Iterator[str]:
         for e in self._index:
             yield e[4]

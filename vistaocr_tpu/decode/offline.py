@@ -1,0 +1,183 @@
+"""Offline decoding over a ``--dump-posteriors`` export — the consumer
+half of the reference's external-decode surface (SURVEY.md §3.3: dump
+per-frame posteriors, then decode/rescore them in a SEPARATE process
+with LM tooling). Everything here runs on the host: greedy is pure
+numpy, beam rides the host prefix-beam engine (the C++ trie-arena twin
+when built, the Python oracle otherwise) — the TPU is never touched, so
+LM sweeps and error analysis iterate at host speed on posteriors the
+chip computed once.
+
+Typical flow::
+
+    python -m vistaocr_tpu.infer --snapshot run/best --data d --split test \
+        --dump-posteriors post/
+    python -m vistaocr_tpu.decode.offline --posteriors post/ \
+        --decoder beam --lm lm.arpa --lm-alpha 0.4 --lm-beta 0.4 \
+        --data d --out hyps.jsonl
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..text import Alphabet, cer_wer
+from .beam import BeamConfig, beam_decode, load_lm
+
+
+def greedy_decode_np(log_probs: np.ndarray, alphabet: Alphabet) -> str:
+    """Pure-numpy greedy CTC decode of one line's [T, V] log-probs:
+    argmax per frame, collapse repeats, drop blanks (index 0). Matches
+    decode.greedy.greedy_decode on the same frames — kept jax-free so
+    offline consumers need no accelerator stack at all."""
+    path = log_probs.argmax(axis=1)
+    keep = np.flatnonzero((path != 0) & np.diff(path, prepend=-1).astype(bool))
+    return alphabet.decode(path[keep].tolist())
+
+
+def _beam_chunks(
+    lines: List[Tuple[str, np.ndarray]], chunk: int
+) -> Iterable[List[Tuple[str, np.ndarray]]]:
+    """Group by similar frame count so chunk padding stays small."""
+    order = sorted(lines, key=lambda kv: kv[1].shape[0])
+    for i in range(0, len(order), chunk):
+        yield order[i : i + chunk]
+
+
+def decode_posteriors(
+    dump_dir: str,
+    *,
+    decoder: str = "greedy",
+    lm_path: Optional[str] = None,
+    lm_alpha: float = 0.5,
+    lm_beta: float = 0.0,
+    beam_width: int = 16,
+    topk: int = 8,
+    refs: Optional[Dict[str, str]] = None,
+    out_path: Optional[str] = None,
+    chunk: int = 256,
+    log=print,
+) -> dict:
+    """Decode every line in a posterior dump. Returns a report dict
+    (lines, lines_per_sec, and CER/WER when ``refs`` maps line id ->
+    uxxxx transcript); writes per-line hypotheses to ``out_path`` as
+    JSONL when given."""
+    from ..infer import iter_posteriors, load_posterior_alphabet
+
+    alphabet = load_posterior_alphabet(dump_dir)
+    t0 = time.time()
+    hyps: Dict[str, str] = {}
+
+    if decoder == "greedy":
+        for lid, lp in iter_posteriors(dump_dir):
+            hyps[lid] = greedy_decode_np(lp, alphabet)
+    elif decoder == "beam":
+        lm = load_lm(lm_path, alphabet) if lm_path else None
+        config = BeamConfig(
+            beam_width=beam_width, topk=topk,
+            lm_alpha=lm_alpha if lm is not None else 0.0, lm_beta=lm_beta,
+        )
+        lines = list(iter_posteriors(dump_dir))
+        k = min(config.topk, alphabet.num_classes - 1)
+        for group in _beam_chunks(lines, chunk):
+            tmax = group[-1][1].shape[0]  # sorted ascending by T
+            lp = np.full(
+                (len(group), tmax, alphabet.num_classes), -1e30, dtype=np.float32
+            )
+            mask = np.zeros((len(group), tmax), dtype=bool)
+            for b, (_, p) in enumerate(group):
+                lp[b, : p.shape[0]] = p
+                mask[b, : p.shape[0]] = True
+            # numpy top-k over symbols (blank handled separately by the
+            # expansion) — same candidate rule as prefix_beam_search
+            ids = (np.argsort(-lp[:, :, 1:], axis=2)[:, :, :k] + 1).astype(
+                np.int32
+            )
+            vals = np.take_along_axis(lp, ids, axis=2)
+            decoded = beam_decode(
+                lp, mask, alphabet, config, lm=lm,
+                precomputed_topk=(vals, ids),
+            )
+            for (lid, _), hyp in zip(group, decoded):
+                hyps[lid] = hyp
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    dt = max(time.time() - t0, 1e-9)
+    report = {
+        "posteriors": dump_dir,
+        "decoder": decoder,
+        "lines": len(hyps),
+        "lines_per_sec": round(len(hyps) / dt, 1),
+    }
+    if refs is not None:
+        pairs = [(hyps[i], refs[i]) for i in hyps if i in refs]
+        if len(pairs) != len(hyps):
+            log(f"warning: {len(hyps) - len(pairs)} decoded ids have no ref")
+        c, w = cer_wer([h for h, _ in pairs], [r for _, r in pairs])
+        report.update(cer=round(c, 5), wer=round(w, 5), scored=len(pairs))
+    if out_path:
+        from ..text import uxxxx_to_utf8
+
+        with open(out_path, "w") as f:
+            for lid in sorted(hyps):
+                f.write(json.dumps({
+                    "id": lid,
+                    "hyp_uxxxx": hyps[lid],
+                    "hyp": uxxxx_to_utf8(hyps[lid]),
+                }, ensure_ascii=False) + "\n")
+    log(json.dumps(report))
+    return report
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Decode a --dump-posteriors export on the host "
+        "(no TPU): greedy or beam+LM, with CER/WER when refs are given"
+    )
+    p.add_argument("--posteriors", required=True, help="dump directory")
+    p.add_argument("--decoder", choices=("greedy", "beam"), default="greedy")
+    p.add_argument("--lm", default=None, help="ARPA LM path for beam fusion")
+    p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--lm-beta", type=float, default=0.0)
+    p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--topk", type=int, default=8)
+    p.add_argument("--data", default=None,
+                   help="dataset dir for references (CER/WER report)")
+    p.add_argument("--split", default=None,
+                   help="ref split (default: the dump's own split)")
+    p.add_argument("--out", default=None, help="hypotheses JSONL path")
+    args = p.parse_args(argv)
+
+    refs = None
+    if args.data:
+        import os
+
+        from ..data.shards import ShardedLineDataset
+
+        with open(os.path.join(args.posteriors, "meta.json")) as f:
+            split = args.split or json.load(f)["split"]
+        ds = ShardedLineDataset(args.data, split)
+        refs = {
+            lid: ds.transcript(i) for i, lid in enumerate(ds.ids())
+        }
+    decode_posteriors(
+        args.posteriors,
+        decoder=args.decoder,
+        lm_path=args.lm,
+        lm_alpha=args.lm_alpha,
+        lm_beta=args.lm_beta,
+        beam_width=args.beam_width,
+        topk=args.topk,
+        refs=refs,
+        out_path=args.out,
+    )
+
+
+if __name__ == "__main__":
+    main()
