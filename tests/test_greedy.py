@@ -56,3 +56,28 @@ class TestGreedy:
         lp = _lp_from_ids([1, 2, 0], 4)
         out = greedy_frames(lp, jnp.ones((1, 3), bool))
         assert out.shape == (1, 3) and out.dtype == jnp.int32
+
+
+class TestGreedyPacked:
+    def test_packed_matches_frames_plus_score(self):
+        import jax.numpy as jnp
+
+        from vistaocr_tpu.decode.greedy import (
+            SCORE_SCALE,
+            greedy_frames,
+            greedy_frames_packed,
+        )
+
+        rng = np.random.default_rng(5)
+        lp = np.log(rng.dirichlet(np.ones(7), size=(4, 11))).astype(np.float32)
+        mask = np.arange(11)[None, :] < np.array([11, 8, 3, 0])[:, None]
+        packed = np.asarray(greedy_frames_packed(jnp.asarray(lp),
+                                                 jnp.asarray(mask)))
+        frames = np.asarray(greedy_frames(jnp.asarray(lp), jnp.asarray(mask)))
+        assert packed.shape == (4, 12)
+        np.testing.assert_array_equal(packed[:, :-1], frames)
+        want = (lp.max(axis=2) * mask).sum(axis=1)
+        np.testing.assert_allclose(
+            packed[:, -1] / SCORE_SCALE, want, atol=2.0 / SCORE_SCALE
+        )
+        assert packed[3, -1] == 0  # zero valid frames -> zero score

@@ -250,3 +250,55 @@ class TestService:
             finally:
                 svc.close()
         assert out[0] == out[-1]
+
+
+class TestConfidence:
+    def test_greedy_confidence(self, snapshot):
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(max_batch=8, warmup=False))
+        try:
+            gen = SyntheticLineGenerator(
+                SynthConfig(language="charset", charset="abcdeo ",
+                            min_words=1, max_words=3),
+                seed=7,
+            )
+            imgs = [gen.sample(height=32, max_width=380)[0] for _ in range(6)]
+            results = svc.ocr_lines(imgs)
+            for r in results:
+                assert r.confidence is not None
+                assert 0.0 < r.confidence <= 1.0
+            # a trained model on in-distribution input is confident
+            assert np.median([r.confidence for r in results]) > 0.5
+        finally:
+            svc.close()
+
+    def test_device_beam_confidence(self, snapshot):
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(
+            max_batch=8, warmup=False, decoder="beam", beam_impl="device",
+        ))
+        try:
+            gen = SyntheticLineGenerator(
+                SynthConfig(language="charset", charset="abcdeo ",
+                            min_words=1, max_words=3),
+                seed=8,
+            )
+            imgs = [gen.sample(height=32, max_width=380)[0] for _ in range(4)]
+            results = svc.ocr_lines(imgs)
+            for r in results:
+                assert r.confidence is not None
+                assert 0.0 < r.confidence <= 1.0
+        finally:
+            svc.close()
+
+    def test_host_beam_has_no_confidence(self, snapshot):
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(
+            max_batch=4, warmup=False, decoder="beam", beam_impl="host",
+        ))
+        try:
+            img = np.full((32, 120), 255, np.uint8)
+            r = svc.submit(img).result(timeout=60)
+            assert r.confidence is None
+        finally:
+            svc.close()

@@ -295,14 +295,19 @@ def device_beam_decode(
     lm=None,
     valid: Optional[np.ndarray] = None,
     precomputed=None,  # (totals, emitted) from beam_scan_collapsed
-) -> List[str]:
+    return_scores: bool = False,
+) -> List:
     """Batch beam decode via the device search -> best uxxxx per valid
     sample. With an LM, the device returns top-W finals and the host
     rescores them (two-pass fusion). ``precomputed`` lets a caller fuse
     ``beam_scan_collapsed`` into its own jitted program (serve) or
     dispatch many batches ahead (infer) — log_probs/frame_mask are unused
     then; its ``emitted`` arity (best-only [B,T] vs all-beams [B,W,T])
-    must match whether an LM is in play."""
+    must match whether an LM is in play. With ``return_scores`` each
+    element is ``(uxxxx, ctc_total)`` — the winning beam's CTC log-prob
+    (the confidence source; under an LM the winner is picked by the
+    FUSED score but the reported total stays pure CTC so confidences are
+    comparable across decoder configs)."""
     use_lm = lm is not None and config.lm_alpha != 0.0
     if precomputed is not None:
         totals, emitted = precomputed
@@ -319,17 +324,20 @@ def device_beam_decode(
         if valid is not None and not valid[b]:
             continue
         if not use_lm:
+            w_best = int(np.argmax(totals[b]))
             if emitted.ndim == 3:  # all-beams layout works for both modes
-                col = emitted[b, int(np.argmax(totals[b]))]
+                col = emitted[b, w_best]
             else:
                 col = emitted[b]
-            out.append(alphabet.decode(col[col != 0].tolist()))
+            hyp = alphabet.decode(col[col != 0].tolist())
+            out.append((hyp, float(totals[b, w_best]))
+                       if return_scores else hyp)
             continue
         if emitted.ndim != 3:
             raise ValueError(
                 "LM rescoring needs all_beams=True beam_scan output"
             )
-        best, best_score = "", -np.inf
+        best, best_score, best_ctc = "", -np.inf, -np.inf
         order = np.argsort(-totals[b])
         for w in order:
             ctc = float(totals[b, w])
@@ -340,6 +348,6 @@ def device_beam_decode(
             score = (ctc + config.lm_alpha * lm_prefix_logp(lm, alphabet, ids)
                      + config.lm_beta * len(ids))
             if score > best_score:
-                best_score, best = score, alphabet.decode(ids)
-        out.append(best)
+                best_score, best, best_ctc = score, alphabet.decode(ids), ctc
+        out.append((best, best_ctc) if return_scores else best)
     return out

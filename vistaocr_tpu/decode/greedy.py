@@ -33,6 +33,31 @@ def greedy_frames(log_probs: jax.Array, frame_mask: jax.Array) -> jax.Array:
     return jnp.where(fresh, best, 0)
 
 
+# Fixed-point scale for the packed best-path score column (nats * 1000:
+# ~1e-3-nat precision on a sum, far below decode-relevant differences).
+SCORE_SCALE = 1000.0
+
+
+@jax.jit
+def greedy_frames_packed(
+    log_probs: jax.Array, frame_mask: jax.Array
+) -> jax.Array:
+    """``greedy_frames`` plus a per-line best-path score, packed as one
+    extra int32 column: [B, T+1] where column T holds
+    ``round(sum_t max_c log p_t(c) * SCORE_SCALE)`` over valid frames.
+    One array instead of two because relay-attached TPUs pay a fixed
+    ~75 ms round trip PER ARRAY fetched (docs/design.md); the caller
+    splits the column off and normalizes by its known frame count
+    (confidence = exp(score / frames), a per-frame geometric mean)."""
+    frames = greedy_frames(log_probs, frame_mask)
+    best = jnp.max(log_probs, axis=-1)  # [B, T]
+    s = jnp.sum(jnp.where(frame_mask, best, 0.0), axis=-1)  # [B] <= 0
+    packed = jnp.round(
+        jnp.clip(s * SCORE_SCALE, -2.0e9, 0.0)
+    ).astype(jnp.int32)
+    return jnp.concatenate([frames, packed[:, None]], axis=1)
+
+
 def collapse_frames(frames_row: np.ndarray, alphabet: Alphabet) -> str:
     """One sample's device output row -> uxxxx transcript string."""
     ids = frames_row[frames_row != 0]

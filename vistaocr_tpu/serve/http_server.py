@@ -9,7 +9,7 @@ API:
     GET  /stats            -> service counters
     POST /ocr              -> body: PNG/JPEG bytes, or JSON
                               {"image_b64": "..."}; response:
-                              {"text", "uxxxx", "latency_ms", "bucket_width"}
+                              {"text", "uxxxx", "latency_ms", "bucket_width", "confidence"}
 
 Usage:
     python -m vistaocr_tpu.serve.http_server --snapshot <dir>/best \
@@ -77,6 +77,8 @@ def make_handler(service: OcrService):
                 "uxxxx": result.uxxxx,
                 "latency_ms": round(result.latency_ms, 2),
                 "bucket_width": result.bucket_width,
+                "confidence": (round(result.confidence, 5)
+                               if result.confidence is not None else None),
             })
 
     return Handler

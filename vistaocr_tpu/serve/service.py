@@ -41,7 +41,7 @@ from ..data.buckets import BucketSpec, ShapeContract
 from ..data.transforms import maybe_invert, normalize_line, to_grayscale
 from ..decode import BeamConfig, beam_decode, greedy_decode, load_lm
 from ..decode.device_beam import beam_scan_collapsed, device_beam_decode
-from ..decode.greedy import greedy_frames
+from ..decode.greedy import SCORE_SCALE, greedy_frames_packed
 from ..ops.resize import MAX_SCALE, host_pool, resize_lines, resized_to_uint8
 from ..text import uxxxx_to_utf8
 from ..train import make_eval_step
@@ -108,6 +108,13 @@ class LineResult:
     uxxxx: str
     latency_ms: float
     bucket_width: int
+    # Per-frame geometric-mean probability of the decode, in (0, 1]:
+    # exp(best-path (greedy) or winning-beam CTC (device beam) log-prob /
+    # valid frames). None on the host-beam oracle path (the C++ engine
+    # reports hypotheses only). Costs no extra device->host fetch: greedy
+    # packs the score into its int32 wire row, beam reads the totals it
+    # already downloads.
+    confidence: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -193,7 +200,7 @@ class OcrService:
                 {"params": params, "batch_stats": batch_stats},
                 images, widths, train=False,
             )
-            return greedy_frames(lp, fm)
+            return greedy_frames_packed(lp, fm)
 
         self._eval_greedy = _jit(_fused, 2)
         # Beam path, same shape: ONE device program per batch running
@@ -238,7 +245,7 @@ class OcrService:
                         new_widths):
             lp, fm = _forward_raw(params, batch_stats, raw, heights, widths,
                                   new_widths)
-            return greedy_frames(lp, fm)
+            return greedy_frames_packed(lp, fm)
 
         def _raw_beam(params, batch_stats, raw, heights, widths, new_widths):
             lp, fm = _forward_raw(params, batch_stats, raw, heights, widths,
@@ -446,15 +453,19 @@ class OcrService:
         """Host-side decode of a dispatched batch -> n uxxxx hypotheses."""
         kind, data = handle
         if kind == "greedy":
-            frames = np.asarray(data)
+            packed = np.asarray(data)  # [B, T+1]: id rows + score column
             # raw id rows; _resolve maps ids -> text/uxxxx via the
             # id-indexed tables (measurably cheaper than building and
             # re-splitting uxxxx strings here)
-            return [row[row != 0] for row in frames[:n]]
+            return [
+                (row[:-1][row[:-1] != 0], row[-1] / SCORE_SCALE)
+                for row in packed[:n]
+            ]
         if kind == "beam_dev":
             return device_beam_decode(
                 None, None, self.alphabet, self.config.beam,
                 lm=self._lm, valid=valid, precomputed=data,
+                return_scores=True,
             )
         log_probs, frame_mask = data
         return beam_decode(
@@ -566,6 +577,13 @@ class OcrService:
         now = time.time()
         char_of = self._char_of
         for p, hyp in zip(pendings, hyps):
+            conf = None
+            if isinstance(hyp, tuple):  # (payload, log-prob) scored paths
+                hyp, logp = hyp
+                # normalize by the line's frame count — deterministic from
+                # its routed width, so the device never ships it
+                frames = self.contract.frames_for_width(p.width)
+                conf = float(np.exp(min(logp / max(frames, 1), 0.0)))
             if isinstance(hyp, np.ndarray):  # greedy: raw id row
                 ids = hyp.tolist()
                 text = "".join([self._chr_list[j] for j in ids])
@@ -581,6 +599,7 @@ class OcrService:
                     uxxxx=hyp,
                     latency_ms=(now - p.t_submit) * 1000.0,
                     bucket_width=spec.width,
+                    confidence=conf,
                 )
             )
 
