@@ -193,12 +193,21 @@ def run_inference(
     )
 
     hyps, refs, ids = [], [], []
+    confs: list = []  # per-line confidence; parallel to hyps where defined
     t0 = time.time()
     # Two-phase, as in serve.OcrService.ocr_lines: dispatch every batch's
     # DEVICE work first (dispatch is async, so H2D/compute/D2H pipeline
     # over the interconnect instead of serializing each batch behind the
     # host decode + relay round-trip), then finalize host-side in order.
     from collections import deque
+
+    ds_widths = ds.widths
+
+    def _conf_of(line_index: int, logp: float) -> float:
+        # normalize the decode's log-prob by the line's frame count (known
+        # host-side from its true width) -> per-frame geometric mean
+        frames = contract.frames_for_width(int(ds_widths[line_index]))
+        return float(np.exp(min(logp / max(frames, 1), 0.0)))
 
     if decoder == "beam" and beam_impl == "device":
         from .decode.device_beam import beam_scan_program, device_beam_decode
@@ -209,10 +218,14 @@ def run_inference(
 
         def finalize(entry):
             indices, valid, pre = entry
-            hyps.extend(device_beam_decode(
+            scored = device_beam_decode(
                 None, None, alphabet, beam_config, lm=lm,
-                valid=valid, precomputed=pre,
-            ))
+                valid=valid, precomputed=pre, return_scores=True,
+            )
+            kept = [i for i in np.flatnonzero(np.asarray(valid))]
+            for (hyp, ctc), i in zip(scored, kept):
+                hyps.append(hyp)
+                confs.append(_conf_of(int(indices[i]), ctc))
             _collect_refs(indices, valid, ds, refs, ids)
 
         inflight = deque()
@@ -237,10 +250,12 @@ def run_inference(
 
         def finalize(entry):
             indices, valid, log_probs, frame_mask, topk = entry
-            hyps.extend(beam_decode(
+            decoded = beam_decode(
                 log_probs, frame_mask, alphabet, beam_config, lm=lm,
                 valid=valid, precomputed_topk=topk,
-            ))
+            )
+            hyps.extend(decoded)
+            confs.extend([None] * len(decoded))  # host oracle: no scores
             _collect_refs(indices, valid, ds, refs, ids)
 
         k = None
@@ -265,16 +280,22 @@ def run_inference(
         while inflight:
             finalize(inflight.popleft())
     else:
-        from .decode.greedy import collapse_frames, greedy_frames
+        from .decode.greedy import (
+            SCORE_SCALE,
+            collapse_frames,
+            greedy_frames_packed,
+        )
 
         def finalize(entry):
             indices, valid, size, pre = entry
-            frames = np.asarray(pre)
-            hyps.extend(
-                collapse_frames(frames[i], alphabet)
-                for i in range(size)
-                if valid[i]
-            )
+            packed = np.asarray(pre)  # [B, T+1]: id rows + score column
+            for i in range(size):
+                if not valid[i]:
+                    continue
+                hyps.append(collapse_frames(packed[i, :-1], alphabet))
+                confs.append(_conf_of(
+                    int(indices[i]), packed[i, -1] / SCORE_SCALE
+                ))
             _collect_refs(indices, valid, ds, refs, ids)
 
         inflight = deque()
@@ -283,7 +304,7 @@ def run_inference(
                 variables["params"], variables["batch_stats"],
                 batch.images, batch.widths,
             )
-            pre = greedy_frames(log_probs, frame_mask)
+            pre = greedy_frames_packed(log_probs, frame_mask)
             _host_prefetch((pre,))
             if dumper:
                 dumper.add(batch, log_probs, frame_mask)
@@ -309,14 +330,20 @@ def run_inference(
         "wer": round(w, 5),
         "lines_per_sec": round(len(hyps) / dt, 1),
     }
+    scored = [c for c in confs if c is not None]
+    if scored:
+        report["mean_confidence"] = round(float(np.mean(scored)), 5)
     if out_path:
+        if len(confs) != len(hyps):  # defensive: never misalign the report
+            confs = [None] * len(hyps)
         with open(out_path, "w") as f:
-            for lid, hyp, ref in zip(ids, hyps, refs):
+            for lid, hyp, ref, conf in zip(ids, hyps, refs, confs):
                 f.write(json.dumps({
                     "id": lid,
                     "hyp_uxxxx": hyp,
                     "hyp_text": uxxxx_to_utf8(hyp),
                     "ref_uxxxx": ref,
+                    "conf": round(conf, 5) if conf is not None else None,
                 }, ensure_ascii=False) + "\n")
     log(json.dumps(report))
     return report
