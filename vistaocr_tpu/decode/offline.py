@@ -70,10 +70,15 @@ def decode_posteriors(
     alphabet = load_posterior_alphabet(dump_dir)
     t0 = time.time()
     hyps: Dict[str, str] = {}
+    confs: Dict[str, float] = {}  # greedy only (host beam has no scores)
 
     if decoder == "greedy":
         for lid, lp in iter_posteriors(dump_dir):
             hyps[lid] = greedy_decode_np(lp, alphabet)
+            if lp.shape[0]:
+                # per-frame geometric-mean best-path probability — same
+                # definition as infer/serve confidence
+                confs[lid] = float(np.exp(min(lp.max(axis=1).mean(), 0.0)))
     elif decoder == "beam":
         lm = load_lm(lm_path, alphabet) if lm_path else None
         config = BeamConfig(
@@ -124,11 +129,14 @@ def decode_posteriors(
 
         with open(out_path, "w") as f:
             for lid in sorted(hyps):
-                f.write(json.dumps({
+                rec = {
                     "id": lid,
                     "hyp_uxxxx": hyps[lid],
                     "hyp": uxxxx_to_utf8(hyps[lid]),
-                }, ensure_ascii=False) + "\n")
+                }
+                if lid in confs:
+                    rec["conf"] = round(confs[lid], 5)
+                f.write(json.dumps(rec, ensure_ascii=False) + "\n")
     log(json.dumps(report))
     return report
 
