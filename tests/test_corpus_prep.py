@@ -219,3 +219,66 @@ class TestHandwritingDegradations:
             outs.append((img, text))
         assert outs[0][1] == outs[1][1]
         np.testing.assert_array_equal(outs[0][0], outs[1][0])
+
+
+class TestIamTreeE2E:
+    """scripts/iam_e2e.build_iam_tree writes the standard IAM layout and
+    the real prepare_iam consumes it — the corpus-scale recipe's
+    tree-level contract, pinned at fixture size."""
+
+    def test_tree_prep_round_trip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        try:
+            from iam_e2e import build_iam_tree
+        finally:
+            sys.path.pop(0)
+
+        from vistaocr_tpu.data.iam import prepare_iam
+        from vistaocr_tpu.data.shards import ShardedLineDataset
+
+        tree = str(tmp_path / "tree")
+        stats = build_iam_tree(
+            tree, num_forms=12, lines_per_form=3, render_height=40,
+            err_every=5, seed=4, val_forms=0.2, test_forms=0.2,
+        )
+        assert stats["lines"] == 36 and stats["err_lines"] == 7
+        out = str(tmp_path / "ds")
+        prepare_iam(tree, out, height=32, skip_err=True, log=lambda *a: None)
+        total = 0
+        heights = set()
+        for split in ("train", "val", "test"):
+            ds = ShardedLineDataset(out, split)
+            total += len(ds)
+            for i in range(len(ds)):
+                rec = ds[i]
+                heights.add(rec.image.shape[0])
+                assert rec.transcript  # uxxxx, non-empty
+                # split honored the form-granularity uttlists
+                assert rec.id.rsplit("-", 1)[0] in open(
+                    f"{tree}/splits/{split}.uttlist").read()
+        assert total == stats["lines"] - stats["err_lines"]
+        assert heights == {32}  # prep height-normalized the 40px renders
+
+    def test_tree_prep_keeps_err_when_asked(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        try:
+            from iam_e2e import build_iam_tree
+        finally:
+            sys.path.pop(0)
+
+        from vistaocr_tpu.data.iam import prepare_iam
+        from vistaocr_tpu.data.shards import ShardedLineDataset
+
+        tree = str(tmp_path / "tree")
+        stats = build_iam_tree(
+            tree, num_forms=6, lines_per_form=3, err_every=4, seed=9,
+            val_forms=0.0, test_forms=0.0,
+        )
+        out = str(tmp_path / "ds")
+        prepare_iam(tree, out, height=32, skip_err=False,
+                    log=lambda *a: None)
+        assert len(ShardedLineDataset(out, "train")) == stats["lines"]
