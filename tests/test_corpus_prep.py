@@ -282,3 +282,58 @@ class TestIamTreeE2E:
         prepare_iam(tree, out, height=32, skip_err=False,
                     log=lambda *a: None)
         assert len(ShardedLineDataset(out, "train")) == stats["lines"]
+
+
+class TestMadcatTreeE2E:
+    """scripts/madcat_e2e.build_madcat_tree writes the MDF-style layout
+    and the real prepare_madcat consumes it (polygon crops + policy +
+    page-level splits), pinned at fixture size."""
+
+    def test_tree_prep_round_trip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        try:
+            from madcat_e2e import build_madcat_tree
+        finally:
+            sys.path.pop(0)
+
+        from vistaocr_tpu.data.madcat import prepare_madcat
+        from vistaocr_tpu.data.shards import ShardedLineDataset
+
+        tree = str(tmp_path / "tree")
+        stats = build_madcat_tree(
+            tree, num_pages=6, lines_per_page=3, render_height=40, seed=2,
+        )
+        assert stats["lines"] == 18
+        out = str(tmp_path / "ds")
+        prepare_madcat(tree, out, height=32, test_frac=0.34, val_frac=0.33,
+                       log=lambda *a: None)
+        import json
+
+        with open(f"{out}/manifest.json") as f:
+            manifest = json.load(f)
+        counts = manifest["counts"]  # write_manifest flattens extra
+        assert sum(counts.values()) == 18
+        total = 0
+        for split, n in counts.items():
+            if not n:
+                continue
+            ds = ShardedLineDataset(out, split)
+            assert len(ds) == n
+            total += n
+            page_ids = {ds[i].id.split("_l")[0] for i in range(len(ds))}
+            for i in range(len(ds)):
+                rec = ds[i]
+                assert rec.image.shape[0] == 32  # height-normalized crop
+                assert rec.transcript.startswith("u06") or " " in rec.transcript
+        assert total == 18
+        # page-level split: no page id appears in two splits
+        seen = {}
+        for split, n in counts.items():
+            if not n:
+                continue
+            ds = ShardedLineDataset(out, split)
+            for i in range(len(ds)):
+                pid = ds[i].id.split("_l")[0]
+                assert seen.setdefault(pid, split) == split
