@@ -110,9 +110,11 @@ def main():
     p.add_argument("--num-forms", type=int, default=800)
     p.add_argument("--lines-per-form", type=int, default=8)
     p.add_argument("--max-steps", type=int, default=1500)
-    p.add_argument("--skip-err", action="store_true", default=True,
+    p.add_argument("--skip-err", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="drop seg=err lines at prep (their transcripts are "
-                        "deliberately corrupted)")
+                        "deliberately corrupted); --no-skip-err keeps them "
+                        "(the reference-era ok+err recipe)")
     p.add_argument("--seed", type=int, default=13)
     p.add_argument("--lm-order", type=int, default=4)
     p.add_argument("--lm-alpha", type=float, default=0.4)

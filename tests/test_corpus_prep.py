@@ -229,7 +229,8 @@ class TestIamTreeE2E:
     def test_tree_prep_round_trip(self, tmp_path):
         import sys
 
-        sys.path.insert(0, "scripts")
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "scripts"))
         try:
             from iam_e2e import build_iam_tree
         finally:
@@ -264,7 +265,8 @@ class TestIamTreeE2E:
     def test_tree_prep_keeps_err_when_asked(self, tmp_path):
         import sys
 
-        sys.path.insert(0, "scripts")
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "scripts"))
         try:
             from iam_e2e import build_iam_tree
         finally:
@@ -292,7 +294,8 @@ class TestMadcatTreeE2E:
     def test_tree_prep_round_trip(self, tmp_path):
         import sys
 
-        sys.path.insert(0, "scripts")
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "scripts"))
         try:
             from madcat_e2e import build_madcat_tree
         finally:

@@ -83,7 +83,11 @@ class TestFarsiEndToEnd:
             offline[lid] = greedy_decode(
                 jnp.asarray(lp[None]), jnp.asarray(mask), alphabet)[0]
         assert set(offline) == set(inproc)
-        assert offline == inproc
+        # the dump stores f16 log-probs: a frame whose top-2 classes sit
+        # within f16 quantization error may flip its argmax, so require
+        # near-total (not bit-exact) agreement with the f32 decode
+        mismatched = [k for k in offline if offline[k] != inproc[k]]
+        assert len(mismatched) <= max(1, len(offline) // 50), mismatched
 
     def test_beam_with_farsi_char_lm(self, farsi_run, tmp_path):
         data, run, _ = farsi_run

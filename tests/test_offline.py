@@ -101,7 +101,7 @@ class TestOfflineDecode:
         with open(out) as f:
             for line in f:
                 r = json.loads(line)
-                got[r["id"]] = r["hyp"]
+                got[r["id"]] = r["hyp_text"]
         assert got == texts
 
     def test_beam_over_dump_matches_greedy_when_peaked(self, alphabet, tmp_path):
@@ -113,7 +113,7 @@ class TestOfflineDecode:
         refs = {k: utf8_to_uxxxx(v) for k, v in texts.items()}
         rep = decode_posteriors(
             str(tmp_path), decoder="beam", beam_width=4, topk=3,
-            refs=refs, chunk=2, log=lambda *a: None,
+            refs=refs, log=lambda *a: None,
         )
         assert rep["lines"] == 5 and rep["cer"] == 0.0
 
@@ -141,5 +141,5 @@ class TestOfflineDecode:
         with open(out) as f:
             for line in f:
                 r = json.loads(line)
-                got[r["id"]] = r["hyp"]
+                got[r["id"]] = r["hyp_text"]
         assert got == texts

@@ -172,6 +172,9 @@ class ShardedLineDataset:
     def ids(self) -> List[str]:
         return [e[3] for e in self._index]
 
+    def id(self, i: int) -> str:
+        return self._index[i][3]
+
     def transcripts(self) -> Iterator[str]:
         for e in self._index:
             yield e[4]

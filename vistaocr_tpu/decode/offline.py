@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import time
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -38,15 +38,6 @@ def greedy_decode_np(log_probs: np.ndarray, alphabet: Alphabet) -> str:
     return alphabet.decode(path[keep].tolist())
 
 
-def _beam_chunks(
-    lines: List[Tuple[str, np.ndarray]], chunk: int
-) -> Iterable[List[Tuple[str, np.ndarray]]]:
-    """Group by similar frame count so chunk padding stays small."""
-    order = sorted(lines, key=lambda kv: kv[1].shape[0])
-    for i in range(0, len(order), chunk):
-        yield order[i : i + chunk]
-
-
 def decode_posteriors(
     dump_dir: str,
     *,
@@ -58,7 +49,6 @@ def decode_posteriors(
     topk: int = 8,
     refs: Optional[Dict[str, str]] = None,
     out_path: Optional[str] = None,
-    chunk: int = 256,
     log=print,
 ) -> dict:
     """Decode every line in a posterior dump. Returns a report dict
@@ -80,22 +70,19 @@ def decode_posteriors(
                 # definition as infer/serve confidence
                 confs[lid] = float(np.exp(min(lp.max(axis=1).mean(), 0.0)))
     elif decoder == "beam":
+        from ..infer import iter_posterior_batches
+
         lm = load_lm(lm_path, alphabet) if lm_path else None
         config = BeamConfig(
             beam_width=beam_width, topk=topk,
             lm_alpha=lm_alpha if lm is not None else 0.0, lm_beta=lm_beta,
         )
-        lines = list(iter_posteriors(dump_dir))
         k = min(config.topk, alphabet.num_classes - 1)
-        for group in _beam_chunks(lines, chunk):
-            tmax = group[-1][1].shape[0]  # sorted ascending by T
-            lp = np.full(
-                (len(group), tmax, alphabet.num_classes), -1e30, dtype=np.float32
-            )
-            mask = np.zeros((len(group), tmax), dtype=bool)
-            for b, (_, p) in enumerate(group):
-                lp[b, : p.shape[0]] = p
-                mask[b, : p.shape[0]] = True
+        # stream one dump file at a time — each file is one bucketed batch
+        # (similar frame counts), so padding stays small and corpus-scale
+        # dumps never materialize in host RAM
+        for lids, frames, lp in iter_posterior_batches(dump_dir):
+            mask = np.arange(lp.shape[1])[None, :] < frames[:, None]
             # numpy top-k over symbols (blank handled separately by the
             # expansion) — same candidate rule as prefix_beam_search
             ids = (np.argsort(-lp[:, :, 1:], axis=2)[:, :, :k] + 1).astype(
@@ -106,7 +93,7 @@ def decode_posteriors(
                 lp, mask, alphabet, config, lm=lm,
                 precomputed_topk=(vals, ids),
             )
-            for (lid, _), hyp in zip(group, decoded):
+            for lid, hyp in zip(lids, decoded):
                 hyps[lid] = hyp
     else:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -132,7 +119,9 @@ def decode_posteriors(
                 rec = {
                     "id": lid,
                     "hyp_uxxxx": hyps[lid],
-                    "hyp": uxxxx_to_utf8(hyps[lid]),
+                    # same key as infer --out so downstream tooling sees
+                    # one hypotheses-JSONL schema from both producers
+                    "hyp_text": uxxxx_to_utf8(hyps[lid]),
                 }
                 if lid in confs:
                     rec["conf"] = round(confs[lid], 5)

@@ -100,7 +100,7 @@ class _PosteriorDumper:
         fmax = int(frames.max())
         np.savez_compressed(
             os.path.join(self.dir, f"posteriors_{self.n:05d}.npz"),
-            ids=np.array([self.ds[int(indices[i])].id for i in keep]),
+            ids=np.array([self.ds.id(int(indices[i])) for i in keep]),
             frames=frames,
             log_probs=lp[keep, :fmax].astype(np.float16),
         )
@@ -123,6 +123,24 @@ def iter_posteriors(dump_dir):
             ids, frames, lp = z["ids"], z["frames"], z["log_probs"]
             for i in range(len(ids)):
                 yield str(ids[i]), lp[i, : int(frames[i])].astype(np.float32)
+
+
+def iter_posterior_batches(dump_dir):
+    """Yield ``(ids [n], frames [n] int32, log_probs [n, fmax, V] f32)``
+    per dump file — the dump's own batch granularity. Lines within a file
+    came from one bucketed batch, so their frame counts are already
+    similar: the natural chunking for batch consumers (decode.offline's
+    beam path) without materializing the corpus."""
+    import glob
+    import os
+
+    for path in sorted(glob.glob(os.path.join(dump_dir, "posteriors_*.npz"))):
+        with np.load(path) as z:
+            yield (
+                [str(i) for i in z["ids"]],
+                z["frames"].astype(np.int32),
+                z["log_probs"].astype(np.float32),
+            )
 
 
 def load_posterior_alphabet(dump_dir):

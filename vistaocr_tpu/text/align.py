@@ -27,8 +27,8 @@ AlignOp = Tuple[str, Optional[str], Optional[str]]
 
 def align_tokens(hyp: Sequence[str], ref: Sequence[str]) -> List[AlignOp]:
     """Minimal-edit alignment of hyp to ref with backtrace. Ties prefer
-    diagonal (match/substitution), then deletion, then insertion —
-    deterministic so confusion tallies are reproducible."""
+    diagonal (match/substitution), then insertion (hyp-consuming), then
+    deletion — deterministic so confusion tallies are reproducible."""
     H, R = len(hyp), len(ref)
     # dp[i][j] = edits aligning hyp[:i] to ref[:j]
     dp = [[0] * (R + 1) for _ in range(H + 1)]
