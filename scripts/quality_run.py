@@ -33,6 +33,10 @@ def main():
     p.add_argument("--num-train", type=int, default=16384)
     p.add_argument("--num-test", type=int, default=1024)
     p.add_argument("--max-steps", type=int, default=3000)
+    p.add_argument("--height", type=int, default=32,
+                   help="line height in px (resolution-scaling studies: "
+                        "the reference program's follow-up work varied "
+                        "input resolution; CER/throughput trade off)")
     p.add_argument("--seed", type=int, default=31)
     p.add_argument("--lm-order", type=int, default=4)
     p.add_argument("--lm-alpha", type=float, default=0.4)
@@ -67,7 +71,7 @@ def main():
         t0 = time.time()
         build_synthetic_dataset(
             data_dir, num_train=args.num_train, num_val=1024,
-            num_test=args.num_test, height=32, max_width=2048,
+            num_test=args.num_test, height=args.height, max_width=2048,
             config=synth, seed=args.seed,
         )
         print(f"# corpus built in {time.time()-t0:.0f}s", flush=True)
@@ -76,6 +80,7 @@ def main():
         **PRESETS[preset],
         "data_dir": data_dir,
         "snapshot_dir": run_dir,
+        "line_height": args.height,
         "max_steps": args.max_steps,
         "val_interval_steps": 500,
         "log_interval": 200,
@@ -106,6 +111,7 @@ def main():
         rows[decoder] = rep
     print(json.dumps({
         "kind": args.kind,
+        "height": args.height,
         "steps": summary["steps"],
         "val_cer": summary["last_val_cer"],
         "greedy": {k: rows["greedy"][k] for k in ("cer", "wer", "lines")},
