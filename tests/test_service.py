@@ -302,3 +302,64 @@ class TestConfidence:
             assert r.confidence is None
         finally:
             svc.close()
+
+
+class TestDeviceLMFusion:
+    """Interleaved on-device LM fusion (order <= 3 dense table) at the
+    service level: must agree with the host interleaved engine on the
+    same LM, and report confidence through the packed wire."""
+
+    def _lm_path(self, data, tmp_path, order=3):
+        from vistaocr_tpu.data.shards import ShardedLineDataset
+        from vistaocr_tpu.decode.lm import train_char_lm
+
+        ds = ShardedLineDataset(data, "train")
+        p = str(tmp_path / f"lm{order}.arpa")
+        train_char_lm(list(ds.transcripts()), order=order).write_arpa(p)
+        return p
+
+    def test_fused_matches_host_interleaved(self, snapshot, tmp_path):
+        snap, data = snapshot
+        lm_path = self._lm_path(data, tmp_path, order=3)
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=41,
+        )
+        imgs = [gen.sample(height=32, max_width=380)[0] for _ in range(8)]
+        from vistaocr_tpu.decode import BeamConfig
+
+        bc = BeamConfig(beam_width=8, topk=4, lm_alpha=0.5, lm_beta=0.2)
+        results = {}
+        for impl in ("device", "host"):
+            svc = OcrService(snap, ServiceConfig(
+                max_batch=8, warmup=False, decoder="beam", beam_impl=impl,
+                lm_path=lm_path, beam=bc,
+            ))
+            try:
+                results[impl] = svc.ocr_lines(imgs)
+                if impl == "device":
+                    assert svc._lm_table is not None  # fused path active
+            finally:
+                svc.close()
+        for rd, rh in zip(results["device"], results["host"]):
+            assert rd.uxxxx == rh.uxxxx
+            assert rd.confidence is not None and 0 < rd.confidence <= 1.0
+
+    def test_device_lm_false_uses_two_pass(self, snapshot, tmp_path):
+        snap, data = snapshot
+        lm_path = self._lm_path(data, tmp_path, order=3)
+        from vistaocr_tpu.decode import BeamConfig
+
+        svc = OcrService(snap, ServiceConfig(
+            max_batch=4, warmup=False, decoder="beam", beam_impl="device",
+            lm_path=lm_path, device_lm=False,
+            beam=BeamConfig(lm_alpha=0.5),
+        ))
+        try:
+            assert svc._lm_table is None and svc._beam_all
+            img = np.full((32, 120), 255, np.uint8)
+            r = svc.submit(img).result(timeout=60)
+            assert isinstance(r.uxxxx, str)
+        finally:
+            svc.close()

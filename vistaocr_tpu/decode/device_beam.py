@@ -36,13 +36,23 @@ Algorithm (same math as decode/beam.prefix_beam_search, vectorized):
 Hash-collision risk: two 32-bit hashes over a ≤200-candidate pool give a
 per-frame false-merge probability of ~200²/2⁶⁴ ≈ 2e-15 — irrelevant.
 
-LM fusion is a second pass (standard two-pass decoding): the device beam
-returns the top-W finals per line with exact CTC scores, and the host
-rescores those W prefixes with the n-gram LM (W·L queries per line
-instead of the interleaved search's T·W·k). Interleaved fusion can in
-principle keep an LM-favored prefix that CTC alone prunes below rank W;
-the corpus-scale Farsi run measures the gap (docs/design.md) — CER
-parity within noise at the service's beam width.
+LM fusion, two ways:
+
+- **Interleaved ON-DEVICE (order <= 3)**: the ARPA LM is densified into
+  a [K+1, (K+1,)? K] log-prob table (decode/lm.dense_logp_table) and
+  scored INSIDE the search — each slot carries its last two emitted
+  class ids as context and a running alpha*lm_logp + beta*len bonus;
+  ranking/pruning uses the fused score exactly as the host oracle does
+  (tests/test_device_beam.py::TestFusedDeviceLM pins string-exact
+  parity). No host rescoring work, and only the winner's packed [B, T+1]
+  row leaves the device.
+- **Two-pass (order > 3, or opting out)**: the device beam returns the
+  top-W finals per line with exact CTC scores and the host rescores
+  those W prefixes (W·L queries per line instead of the interleaved
+  search's T·W·k). Two-pass can in principle lose an LM-favored prefix
+  that CTC alone prunes below rank W — which is why the dense path
+  exists; the corpus-scale Farsi run measured the gap as CER-neutral at
+  the service's beam width (docs/design.md).
 """
 
 from __future__ import annotations
@@ -71,14 +81,36 @@ def beam_scan(
     beam_width: int,
     topk: int,
     prune_logp: float,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    lm_table: Optional[jax.Array] = None,  # [K+1, K] or [K+1, K+1, K]
+    lm_alpha: float = 0.0,
+    lm_beta: float = 0.0,
+):
     """Traceable device beam search (compose under jit with the forward
     pass). Returns (totals [B, W] f32 final log P per beam slot,
-    parents [T, B, W] int32, tokens [T, B, W] int32; token 0 = none)."""
+    parents [T, B, W] int32, tokens [T, B, W] int32; token 0 = none).
+
+    With ``lm_table`` (decode/lm.dense_logp_table), the n-gram LM is
+    fused INTERLEAVED, exactly as the host oracle does it: each slot
+    carries its last one or two emitted class ids as LM context plus a
+    running ``bonus = lm_alpha * lm_logp + lm_beta * len``; extend
+    candidates gather log P(c | context) from the dense table and beams
+    are ranked/pruned by the FUSED score (CTC + bonus) while (p_b, p_nb)
+    stay pure CTC. Returns (totals, bonus, parents, tokens) — a 4-tuple —
+    in that mode. This removes the two-pass compromise for order <= 3
+    LMs (an LM-favored prefix can no longer be pruned below rank W by
+    CTC alone) and the host rescoring work with it."""
     B, T, K = log_probs.shape
     W = beam_width
     k = min(topk, K - 1)
     neg = jnp.float32(-jnp.inf)
+    use_lm = lm_table is not None
+    trigram = use_lm and lm_table.ndim == 3
+    if use_lm:
+        # context axis size K+1: 0 = none, K = <s>, symbols at class ids
+        lm_flat = (lm_table.reshape((K + 1) * (K + 1), K) if trigram
+                   else lm_table)
+        alpha = jnp.float32(lm_alpha)
+        beta = jnp.float32(lm_beta)
 
     # Per-frame symbol candidates: top-k over NON-blank classes (ids >= 1),
     # matching the oracle's candidate set; blank handled separately.
@@ -101,9 +133,14 @@ def beam_scan(
     last_0 = jnp.full((B, W), -1, jnp.int32)
     p_b0 = jnp.broadcast_to(jnp.where(iota_w == 0, 0.0, neg), (B, W))
     p_nb0 = jnp.full((B, W), neg)
+    # LM context: (lmp, lml) = class ids of the two most recent emitted
+    # symbols (0 = none, K = <s>); start state is the oracle's (<s>,)
+    lmp_0 = jnp.zeros((B, W), jnp.int32)
+    lml_0 = jnp.full((B, W), K, jnp.int32)
+    bonus_0 = jnp.zeros((B, W), jnp.float32)
 
     def body(carry, inp):
-        h1, h2, last, p_b, p_nb = carry
+        h1, h2, last, p_b, p_nb, lmp, lml, bonus = carry
         v, i, pb, m = inp  # [B,k] [B,k] [B] [B]
         p_tot = jnp.logaddexp(p_b, p_nb)  # [B, W]
         frame_best = jnp.maximum(v[:, 0], pb)  # [B]
@@ -125,6 +162,15 @@ def beam_scan(
         cu = c.astype(jnp.uint32) + 1
         ext_h1 = h1[:, :, None] * _M1 + cu
         ext_h2 = h2[:, :, None] * _M2 + cu * jnp.uint32(0x27D4EB2F)
+        if use_lm:
+            # log P(c | slot context) for every candidate: one row gather
+            # per slot from the dense table, then pick the k candidates
+            if trigram:
+                rows = jnp.take(lm_flat, lmp * (K + 1) + lml, axis=0)
+            else:
+                rows = jnp.take(lm_flat, lml, axis=0)  # [B, W, K]
+            q = jnp.take_along_axis(rows, c, axis=2)  # [B, W, k]
+            ext_bonus = bonus[:, :, None] + alpha * q + beta
 
         # merge: an extend candidate ext(p, c) coincides with a beam slot
         # already holding p+c (and with nothing else — see module doc).
@@ -148,6 +194,10 @@ def beam_scan(
         pool_pb = jnp.concatenate([stay_pb, jnp.full((B, W * k), neg)], axis=1)
         pool_pnb = jnp.concatenate([stay_pnb, epnb], axis=1)
         total = jnp.logaddexp(pool_pb, pool_pnb)
+        if use_lm:
+            # rank/prune by the FUSED score; CTC masses stay pure
+            pool_bonus = jnp.concatenate([bonus, flat(ext_bonus)], axis=1)
+            total = total + pool_bonus
 
         _, sel = jax.lax.top_k(total, W)  # [B, W] pool positions
         take = functools.partial(jnp.take_along_axis, indices=sel, axis=1)
@@ -165,6 +215,17 @@ def beam_scan(
         n_last = take(pool_last)
         n_pb, n_pnb = take(pool_pb), take(pool_pnb)
         n_parent, n_token = take(pool_parent), take(pool_token)
+        if use_lm:
+            # stay keeps its context; extend shifts (lmp, lml) <- (lml, c)
+            pool_lmp = jnp.concatenate(
+                [lmp, flat(jnp.broadcast_to(lml[:, :, None], (B, W, k)))],
+                axis=1)
+            pool_lml = jnp.concatenate([lml, flat(c)], axis=1)
+            pool_bon = jnp.concatenate([bonus, flat(ext_bonus)], axis=1)
+            n_lmp, n_lml = take(pool_lmp), take(pool_lml)
+            n_bon = take(pool_bon)
+        else:
+            n_lmp, n_lml, n_bon = lmp, lml, bonus
 
         # invalid frames are identity: state passes through, nothing emits
         mw = m[:, None]
@@ -173,34 +234,51 @@ def beam_scan(
         last = jnp.where(mw, n_last, last)
         p_b = jnp.where(mw, n_pb, p_b)
         p_nb = jnp.where(mw, n_pnb, p_nb)
+        lmp = jnp.where(mw, n_lmp, lmp)
+        lml = jnp.where(mw, n_lml, lml)
+        bonus = jnp.where(mw, n_bon, bonus)
         parent = jnp.where(mw, n_parent, jnp.broadcast_to(iota_w[None], (B, W)))
         token = jnp.where(mw, n_token, 0)
-        return (h1, h2, last, p_b, p_nb), (parent, token)
+        return (h1, h2, last, p_b, p_nb, lmp, lml, bonus), (parent, token)
 
     carry, (parents, tokens) = jax.lax.scan(
-        body, (h1_0, h2_0, last_0, p_b0, p_nb0),
+        body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp_0, lml_0, bonus_0),
         (vals_t, ids_t, pblank_t, mask_t),
     )
-    _, _, _, p_b, p_nb = carry
-    return jnp.logaddexp(p_b, p_nb), parents, tokens
+    _, _, _, p_b, p_nb, _, _, bonus = carry
+    totals = jnp.logaddexp(p_b, p_nb)
+    if use_lm:
+        return totals, bonus, parents, tokens
+    return totals, parents, tokens
 
 
 @functools.lru_cache(maxsize=None)
 def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float,
-                   all_beams: bool):
+                   all_beams: bool, fused_lm: bool, lm_alpha: float,
+                   lm_beta: float):
+    if fused_lm:
+        return jax.jit(functools.partial(
+            beam_scan_collapsed, beam_width=beam_width, topk=topk,
+            prune_logp=prune_logp, lm_alpha=lm_alpha, lm_beta=lm_beta,
+        ))
     return jax.jit(functools.partial(
         beam_scan_collapsed, beam_width=beam_width, topk=topk,
         prune_logp=prune_logp, all_beams=all_beams,
     ))
 
 
-def beam_scan_program(config: BeamConfig, all_beams: bool = False):
+def beam_scan_program(config: BeamConfig, all_beams: bool = False,
+                      fused_lm: bool = False):
     """Jitted ``beam_scan_collapsed`` for a config — for callers that
     dispatch the search separately from the forward pass (infer's
     two-phase loop). ``all_beams`` must be True when the finals will be
-    LM-rescored."""
+    two-pass LM-rescored; ``fused_lm`` returns a program taking
+    ``(log_probs, frame_mask, lm_table=...)`` for interleaved on-device
+    fusion (order <= 3)."""
     return _beam_scan_jit(config.beam_width, config.topk,
-                          float(config.prune_logp), bool(all_beams))
+                          float(config.prune_logp), bool(all_beams),
+                          bool(fused_lm), float(config.lm_alpha),
+                          float(config.lm_beta))
 
 
 def backtrace(
@@ -246,13 +324,42 @@ def beam_scan_collapsed(
     topk: int,
     prune_logp: float,
     all_beams: bool = False,
+    lm_table: Optional[jax.Array] = None,
+    lm_alpha: float = 0.0,
+    lm_beta: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """beam_scan + on-device backtrace. Returns (totals [B, W], emitted):
     emitted is [B, T] int32 for the BEST beam per line (token or 0 per
     frame — same wire format as greedy_frames, so the host collapse is
     shared), or [B, W, T] when ``all_beams`` (two-pass LM rescoring needs
     every final). Keeps the host<->device transfer tiny: the [T, B, W]
-    search trellis never leaves the device."""
+    search trellis never leaves the device.
+
+    With ``lm_table``, the LM is fused in the search (see beam_scan) and
+    the winner is selected by the FUSED score; emitted comes back PACKED
+    as [B, T+1] — the winning beam's token row plus one int32 column
+    holding round(winner's pure-CTC total * 1000) for confidence, so LM
+    fusion adds no extra device->host array."""
+    if lm_table is not None:
+        if all_beams:
+            raise ValueError("all_beams is for two-pass rescoring; "
+                             "lm_table fuses the LM in the search")
+        totals, bonus, parents, tokens = beam_scan(
+            log_probs, frame_mask, beam_width=beam_width, topk=topk,
+            prune_logp=prune_logp, lm_table=lm_table, lm_alpha=lm_alpha,
+            lm_beta=lm_beta,
+        )
+        emitted = device_backtrace(parents, tokens)  # [T, B, W]
+        best = jnp.argmax(totals + bonus, axis=1)  # fused selection
+        picked = jnp.take_along_axis(
+            emitted, best[None, :, None], axis=2
+        )[..., 0]  # [T, B]
+        sel_ctc = jnp.take_along_axis(totals, best[:, None], axis=1)[:, 0]
+        col = jnp.round(
+            jnp.clip(sel_ctc * 1000.0, -2.0e9, 0.0)
+        ).astype(jnp.int32)
+        return totals, jnp.concatenate(
+            [jnp.swapaxes(picked, 0, 1), col[:, None]], axis=1)
     totals, parents, tokens = beam_scan(
         log_probs, frame_mask, beam_width=beam_width, topk=topk,
         prune_logp=prune_logp,
@@ -313,7 +420,8 @@ def device_beam_decode(
         totals, emitted = precomputed
     else:
         fn = _beam_scan_jit(config.beam_width, config.topk,
-                            float(config.prune_logp), use_lm)
+                            float(config.prune_logp), use_lm,
+                            False, 0.0, 0.0)
         totals, emitted = fn(log_probs, frame_mask)
     totals = np.asarray(totals)  # [B, W]
     emitted = np.asarray(emitted)  # [B, T] or [B, W, T]

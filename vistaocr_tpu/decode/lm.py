@@ -135,6 +135,54 @@ class ArpaLM:
             f.write("\n\\end\\\n")
 
 
+def dense_logp_table(lm: "ArpaLM", alphabet, order: Optional[int] = None):
+    """Densify an ARPA LM (order <= 3) into a numpy log-prob table for the
+    ON-DEVICE interleaved beam fusion (decode/device_beam.py).
+
+    Context encoding along history axes (size ``K + 1`` where K =
+    ``alphabet.num_classes``): index 0 = no token (short history), index
+    ``K`` = ``<s>``, symbol class ids 1..K-1 at their own index. The last
+    axis is the scored symbol's class id (entry 0 = blank, never queried).
+
+    - order 2 -> ``[K+1, K]``: ``t[h, c] = log P(c | h)``
+    - order 3 -> ``[K+1, K+1, K]``: ``t[h1, h2, c] = log P(c | h1 h2)``
+
+    Every entry is produced by ``lm.logp`` itself (full Katz backoff), so
+    the dense table is EXACT for its order — the device fusion scores
+    identically to the host oracle. Build cost is ``(K+1)^(order-1) * K``
+    queries: one-time at service/infer init (~seconds for 100+-class
+    alphabets; amortized by the persistent service).
+    """
+    import numpy as np
+
+    order = order or min(lm.order, 3)
+    if order not in (2, 3):
+        raise ValueError(f"dense_logp_table supports order 2 or 3, got {order}")
+    K = alphabet.num_classes
+    toks = [None] + alphabet.tokens  # class id -> uxxxx token
+    BOS_ID = K
+
+    def hist(*ids):
+        return tuple(
+            BOS if i == BOS_ID else toks[i] for i in ids if i != 0
+        )
+
+    if order == 2:
+        t = np.zeros((K + 1, K), np.float32)
+        for h in range(K + 1):
+            hh = hist(h)
+            for c in range(1, K):
+                t[h, c] = lm.logp(hh, toks[c])
+        return t
+    t = np.zeros((K + 1, K + 1, K), np.float32)
+    for h1 in range(K + 1):
+        for h2 in range(K + 1):
+            hh = hist(h1, h2)
+            for c in range(1, K):
+                t[h1, h2, c] = lm.logp(hh, toks[c])
+    return t
+
+
 def train_char_lm(
     transcripts: Iterable[str],
     order: int = 3,

@@ -212,6 +212,7 @@ def run_inference(
 
     hyps, refs, ids = [], [], []
     confs: list = []  # per-line confidence; parallel to hyps where defined
+    lm_fusion = None  # set to "device-interleaved" when the dense path runs
     t0 = time.time()
     # Two-phase, as in serve.OcrService.ocr_lines: dispatch every batch's
     # DEVICE work first (dispatch is async, so H2D/compute/D2H pipeline
@@ -230,21 +231,56 @@ def run_inference(
     if decoder == "beam" and beam_impl == "device":
         from .decode.device_beam import beam_scan_program, device_beam_decode
 
-        prog = beam_scan_program(
-            beam_config, all_beams=lm is not None and beam_config.lm_alpha != 0
-        )
+        # Interleaved on-device LM fusion when the ARPA order is <= 3
+        # (decode/lm.dense_logp_table): exact oracle math inside the
+        # search, no host rescoring, greedy-shaped packed wire. Higher
+        # orders keep the two-pass rescoring path.
+        lm_table = None
+        if lm is not None and beam_config.lm_alpha != 0:
+            from .decode.lm import ArpaLM, dense_logp_table
 
-        def finalize(entry):
-            indices, valid, pre = entry
-            scored = device_beam_decode(
-                None, None, alphabet, beam_config, lm=lm,
-                valid=valid, precomputed=pre, return_scores=True,
+            py_lm = (lm if isinstance(lm, ArpaLM)
+                     else ArpaLM.read_arpa(lm_path))
+            if 2 <= py_lm.order <= 3:
+                lm_table = jax.device_put(
+                    np.asarray(dense_logp_table(py_lm, alphabet)))
+                lm_fusion = "device-interleaved"
+        if lm_table is not None:
+            from .decode.greedy import SCORE_SCALE as _SC
+            from .decode.greedy import collapse_frames as _collapse
+
+            fused_prog = beam_scan_program(beam_config, fused_lm=True)
+
+            def prog(lp, fm):
+                return fused_prog(lp, fm, lm_table=lm_table)
+
+            def finalize(entry):
+                indices, valid, pre = entry
+                _, packed = pre
+                packed = np.asarray(packed)  # [B, T+1]
+                for i in np.flatnonzero(np.asarray(valid)):
+                    hyps.append(_collapse(packed[i, :-1], alphabet))
+                    confs.append(_conf_of(
+                        int(indices[i]), packed[i, -1] / _SC
+                    ))
+                _collect_refs(indices, valid, ds, refs, ids)
+        else:
+            prog = beam_scan_program(
+                beam_config,
+                all_beams=lm is not None and beam_config.lm_alpha != 0,
             )
-            kept = [i for i in np.flatnonzero(np.asarray(valid))]
-            for (hyp, ctc), i in zip(scored, kept):
-                hyps.append(hyp)
-                confs.append(_conf_of(int(indices[i]), ctc))
-            _collect_refs(indices, valid, ds, refs, ids)
+
+            def finalize(entry):
+                indices, valid, pre = entry
+                scored = device_beam_decode(
+                    None, None, alphabet, beam_config, lm=lm,
+                    valid=valid, precomputed=pre, return_scores=True,
+                )
+                kept = [i for i in np.flatnonzero(np.asarray(valid))]
+                for (hyp, ctc), i in zip(scored, kept):
+                    hyps.append(hyp)
+                    confs.append(_conf_of(int(indices[i]), ctc))
+                _collect_refs(indices, valid, ds, refs, ids)
 
         inflight = deque()
         for batch in pipe.device_epoch(0):
@@ -343,6 +379,7 @@ def run_inference(
         "decoder": (
             f"{decoder}:{beam_impl}" if decoder == "beam" else decoder
         ),
+        **({"lm_fusion": lm_fusion} if lm_fusion else {}),
         "lines": len(hyps),
         "cer": round(c, 5),
         "wer": round(w, 5),

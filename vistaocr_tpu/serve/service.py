@@ -84,6 +84,13 @@ class ServiceConfig:
     # graphs shard; the host-beam oracle path stays single-device.
     mesh_data: int = 0
     lm_path: Optional[str] = None
+    # Interleaved ON-DEVICE LM fusion for the device beam: when the ARPA
+    # LM's order is <= 3, densify it (decode/lm.dense_logp_table) and fuse
+    # scoring INSIDE the search — exact oracle math, no two-pass rescoring
+    # host work, and only the winning beam's packed row leaves the device
+    # (vs [B, W, T] finals for rescoring). False, or order > 3, keeps the
+    # two-pass path.
+    device_lm: bool = True
     # On-device height normalization (ops/resize.py): requests at
     # non-contract heights are resized INSIDE the per-bucket graph; the
     # host does only grayscale/polarity (and integer pre-pooling for
@@ -210,13 +217,36 @@ class OcrService:
         # rows leave the device — the relay D2H round trip on the full
         # [T, B, W] trellis measured 69% of the beam service time.
         bc = config.beam
-        self._beam_all = bool(config.lm_path) and bc.lm_alpha != 0.0
+        want_lm = bool(config.lm_path) and bc.lm_alpha != 0.0
+        # densify an order-<=3 LM for interleaved on-device fusion
+        self._lm_table = None
+        if want_lm and config.device_lm and config.beam_impl == "device":
+            from ..decode.lm import ArpaLM, dense_logp_table
+
+            py_lm = ArpaLM.read_arpa(config.lm_path)
+            if 2 <= py_lm.order <= 3:
+                table = jnp.asarray(dense_logp_table(py_lm, self.alphabet))
+                if self._mesh is not None:
+                    from ..parallel.mesh import replicated
+
+                    self._lm_table = jax.device_put(
+                        table, replicated(self._mesh))
+                else:
+                    self._lm_table = jax.device_put(table)
+        self._beam_all = want_lm and self._lm_table is None
 
         def _fused_beam(params, batch_stats, images, widths):
             lp, fm = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 images, widths, train=False,
             )
+            if self._lm_table is not None:
+                return beam_scan_collapsed(
+                    lp, fm, beam_width=bc.beam_width, topk=bc.topk,
+                    prune_logp=float(bc.prune_logp),
+                    lm_table=self._lm_table, lm_alpha=float(bc.lm_alpha),
+                    lm_beta=float(bc.lm_beta),
+                )
             return beam_scan_collapsed(
                 lp, fm, beam_width=bc.beam_width, topk=bc.topk,
                 prune_logp=float(bc.prune_logp), all_beams=self._beam_all,
@@ -250,6 +280,13 @@ class OcrService:
         def _raw_beam(params, batch_stats, raw, heights, widths, new_widths):
             lp, fm = _forward_raw(params, batch_stats, raw, heights, widths,
                                   new_widths)
+            if self._lm_table is not None:
+                return beam_scan_collapsed(
+                    lp, fm, beam_width=bc.beam_width, topk=bc.topk,
+                    prune_logp=float(bc.prune_logp),
+                    lm_table=self._lm_table, lm_alpha=float(bc.lm_alpha),
+                    lm_beta=float(bc.lm_beta),
+                )
             return beam_scan_collapsed(
                 lp, fm, beam_width=bc.beam_width, topk=bc.topk,
                 prune_logp=float(bc.prune_logp), all_beams=self._beam_all,
@@ -405,7 +442,9 @@ class OcrService:
         )
         if self.config.decoder == "beam":
             if self.config.beam_impl == "device":
-                return ("beam_dev", self._eval_beam(*args))
+                kind = ("beam_fused" if self._lm_table is not None
+                        else "beam_dev")
+                return (kind, self._eval_beam(*args))
             return ("beam_host", self._eval_step(*args))
         return ("greedy", self._eval_greedy(*args))
 
@@ -423,7 +462,9 @@ class OcrService:
         )
         if self.config.decoder == "beam":
             if self.config.beam_impl == "device":
-                return ("beam_dev", self._eval_raw_beam(*args))
+                kind = ("beam_fused" if self._lm_table is not None
+                        else "beam_dev")
+                return (kind, self._eval_raw_beam(*args))
             return ("beam_host", self._eval_raw(*args))
         return ("greedy", self._eval_raw_greedy(*args))
 
@@ -452,6 +493,11 @@ class OcrService:
     def _finalize(self, handle, valid, n):
         """Host-side decode of a dispatched batch -> n uxxxx hypotheses."""
         kind, data = handle
+        if kind == "beam_fused":
+            # (totals, packed [B, T+1]) — winner selected by the FUSED
+            # score on device; same wire as greedy, same finalize
+            _, data = data
+            kind = "greedy"
         if kind == "greedy":
             packed = np.asarray(data)  # [B, T+1]: id rows + score column
             # raw id rows; _resolve maps ids -> text/uxxxx via the
