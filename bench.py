@@ -247,6 +247,7 @@ def main():
     # host normalize + device forward + decode). Futures resolve with host
     # strings, so no extra fencing is needed. BENCH_SERVICE=0 skips.
     svc_lps = svc_beam_lps = 0.0
+    svc_lm_fused_lps = svc_lm_2pass_lps = 0.0
     if os.environ.get("BENCH_SERVICE", "1") == "1":
         import tempfile
 
@@ -286,6 +287,33 @@ def main():
         svc_beam_lps = len(res) / (time.time() - t0) / n_chips
         svc_b.close()
         _log(f"service beam (device): {svc_beam_lps:.0f} lines/s/chip")
+
+        # Beam + LM service, both fusion modes: interleaved on-device
+        # (dense order-3 table inside the search) vs two-pass host
+        # rescoring of the top-W finals. Same LM, same inputs.
+        from vistaocr_tpu.decode import BeamConfig
+        from vistaocr_tpu.decode.lm import train_char_lm
+
+        lm_path = os.path.join(snap, "bench_lm3.arpa")
+        train_char_lm(
+            [val.transcript(i) for i in range(len(val))], order=3
+        ).write_arpa(lm_path)
+        bc = BeamConfig(lm_alpha=0.4, lm_beta=0.4)
+        for name, dev_lm in (("fused", True), ("2pass", False)):
+            svc_l = OcrService(snap, ServiceConfig(
+                max_batch=128, max_wait_ms=2.0, decoder="beam",
+                lm_path=lm_path, beam=bc, device_lm=dev_lm,
+            ))
+            svc_l.ocr_lines(imgs)  # untimed warm pass
+            t0 = time.time()
+            res = svc_l.ocr_lines(imgs)
+            lps = len(res) / (time.time() - t0) / n_chips
+            svc_l.close()
+            if dev_lm:
+                svc_lm_fused_lps = lps
+            else:
+                svc_lm_2pass_lps = lps
+            _log(f"service beam+LM ({name}): {lps:.0f} lines/s/chip")
 
     # Online latency-shaped path (submit() futures + max_wait batching):
     # N concurrent submitters drive the queues; report lines/s + p50/p99
@@ -340,6 +368,10 @@ def main():
             "eval_lines_per_sec_per_chip": round(eval_lps, 1),
             "service_lines_per_sec_per_chip": round(svc_lps, 1),
             "service_beam_lines_per_sec_per_chip": round(svc_beam_lps, 1),
+            "service_beam_lm_fused_lines_per_sec_per_chip": round(
+                svc_lm_fused_lps, 1),
+            "service_beam_lm_2pass_lines_per_sec_per_chip": round(
+                svc_lm_2pass_lps, 1),
             "chips": n_chips,
             "timed_steps": TIMED_STEPS,
             "compute_dtype": "bfloat16",
