@@ -312,3 +312,43 @@ class TestFusedDeviceLM:
         got = al.decode(row[row != 0].tolist())
         want = prefix_beam_search(lp[0], al, cfg, lm=lm)[0][0]
         assert got == want == utf8_to_uxxxx("ab")
+
+
+class TestNBest:
+    def test_nbest_matches_oracle_ranking(self):
+        from vistaocr_tpu.decode.device_beam import (
+            beam_scan_program,
+            device_beam_nbest,
+        )
+
+        lp, mask, frames = _random_case(9, peaky=True)
+        al = _alphabet(lp.shape[-1] - 1)
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0)
+        prog = beam_scan_program(cfg, all_beams=True)
+        pre = prog(jnp.asarray(lp), jnp.asarray(mask))
+        lists = device_beam_nbest(al, cfg, pre, nbest=3)
+        assert len(lists) == lp.shape[0]
+        for b, ranked in enumerate(lists):
+            hyps = prefix_beam_search(lp[b, : frames[b]], al, cfg)
+            assert 1 <= len(ranked) <= 3
+            # sorted descending, and matches the oracle's ranked list
+            scores = [s for _, s in ranked]
+            assert scores == sorted(scores, reverse=True)
+            for (gh, gs), (oh, os_) in zip(ranked, hyps):
+                assert gh == oh
+                assert gs == pytest.approx(os_, abs=1e-4)
+
+    def test_nbest_respects_valid_mask(self):
+        from vistaocr_tpu.decode.device_beam import (
+            beam_scan_program,
+            device_beam_nbest,
+        )
+
+        lp, mask, _ = _random_case(11)
+        al = _alphabet(lp.shape[-1] - 1)
+        cfg = BeamConfig(beam_width=4, topk=3)
+        prog = beam_scan_program(cfg, all_beams=True)
+        pre = prog(jnp.asarray(lp), jnp.asarray(mask))
+        valid = np.array([True, False] * (lp.shape[0] // 2))
+        lists = device_beam_nbest(al, cfg, pre, valid=valid, nbest=2)
+        assert len(lists) == valid.sum()

@@ -102,3 +102,24 @@ class TestFarsiEndToEnd:
                               batch_pixels=2**17, log=lambda *a: None)
         # LM fusion must not hurt on in-domain text
         assert fused["cer"] <= greedy["cer"] + 0.02, (fused, greedy)
+
+    def test_nbest_export(self, farsi_run, tmp_path):
+        """--nbest writes ranked alternatives per line (the reference
+        era's n-best export); top-1 must equal the record's hyp."""
+        import json
+
+        data, run, _ = farsi_run
+        out = str(tmp_path / "nbest.jsonl")
+        rep = run_inference(run + "/best", data, "test",
+                            batch_pixels=2**17, decoder="beam",
+                            beam_impl="device", nbest=4, out_path=out,
+                            log=lambda *a: None)
+        assert rep["lines"] > 0
+        with open(out) as f:
+            for line in f:
+                rec = json.loads(line)
+                nb = rec["nbest"]
+                assert 1 <= len(nb) <= 4
+                assert nb[0]["hyp_uxxxx"] == rec["hyp_uxxxx"]
+                scores = [e["score"] for e in nb]
+                assert scores == sorted(scores, reverse=True)

@@ -394,6 +394,51 @@ def lm_prefix_logp(lm, alphabet: Alphabet, ids: Sequence[int]) -> float:
     return total
 
 
+def device_beam_nbest(
+    alphabet: Alphabet,
+    config: BeamConfig,
+    precomputed,  # (totals [B, W], emitted [B, W, T]) all-beams layout
+    lm=None,
+    valid: Optional[np.ndarray] = None,
+    nbest: int = 8,
+) -> List[List[Tuple[str, float]]]:
+    """N-best lists from an all-beams device search: per valid line, up
+    to ``nbest`` (uxxxx, score) ranked by the fused score (CTC + LM when
+    an LM is given — two-pass scoring of the W finals). The export
+    surface behind infer --nbest; the reference era's n-best/lattice
+    dump for downstream rescoring."""
+    use_lm = lm is not None and config.lm_alpha != 0.0
+    totals, emitted = precomputed
+    totals = np.asarray(totals)
+    emitted = np.asarray(emitted)
+    if emitted.ndim != 3:
+        raise ValueError("n-best needs all_beams=True beam_scan output")
+    out: List[List[Tuple[str, float]]] = []
+    for b in range(totals.shape[0]):
+        if valid is not None and not valid[b]:
+            continue
+        ranked = []
+        seen = set()
+        for w in np.argsort(-totals[b]):
+            ctc = float(totals[b, int(w)])
+            if ctc == -np.inf:
+                break
+            row = emitted[b, int(w)]
+            ids = row[row != 0].tolist()
+            key = tuple(ids)
+            if key in seen:  # distinct-prefix invariant, but be safe
+                continue
+            seen.add(key)
+            score = ctc
+            if use_lm:
+                score += (config.lm_alpha * lm_prefix_logp(lm, alphabet, ids)
+                          + config.lm_beta * len(ids))
+            ranked.append((alphabet.decode(ids), score))
+        ranked.sort(key=lambda x: -x[1])
+        out.append(ranked[:nbest])
+    return out
+
+
 def device_beam_decode(
     log_probs: Optional[jax.Array],  # [B, T, K]; None with precomputed
     frame_mask: Optional[jax.Array],  # [B, T]; None with precomputed

@@ -168,6 +168,7 @@ def run_inference(
     lm_alpha: float = 0.5,
     lm_beta: float = 0.0,
     dump_posteriors: Optional[str] = None,
+    nbest: int = 1,
     log=print,
 ) -> dict:
     from .decode import BeamConfig, beam_decode, load_lm
@@ -213,6 +214,9 @@ def run_inference(
     hyps, refs, ids = [], [], []
     confs: list = []  # per-line confidence; parallel to hyps where defined
     lm_fusion = None  # set to "device-interleaved" when the dense path runs
+    nbest_lists: list = []  # per-line ranked (uxxxx, score), --nbest > 1
+    if nbest > 1 and not (decoder == "beam" and beam_impl == "device"):
+        raise ValueError("--nbest needs --decoder beam --beam-impl device")
     t0 = time.time()
     # Two-phase, as in serve.OcrService.ocr_lines: dispatch every batch's
     # DEVICE work first (dispatch is async, so H2D/compute/D2H pipeline
@@ -236,7 +240,7 @@ def run_inference(
         # search, no host rescoring, greedy-shaped packed wire. Higher
         # orders keep the two-pass rescoring path.
         lm_table = None
-        if lm is not None and beam_config.lm_alpha != 0:
+        if nbest <= 1 and lm is not None and beam_config.lm_alpha != 0:
             from .decode.lm import ArpaLM, dense_logp_table
 
             py_lm = (lm if isinstance(lm, ArpaLM)
@@ -263,6 +267,23 @@ def run_inference(
                     confs.append(_conf_of(
                         int(indices[i]), packed[i, -1] / _SC
                     ))
+                _collect_refs(indices, valid, ds, refs, ids)
+        elif nbest > 1:
+            from .decode.device_beam import device_beam_nbest
+
+            prog = beam_scan_program(beam_config, all_beams=True)
+
+            def finalize(entry):
+                indices, valid, pre = entry
+                lists = device_beam_nbest(
+                    alphabet, beam_config, pre, lm=lm, valid=valid,
+                    nbest=nbest,
+                )
+                kept = [i for i in np.flatnonzero(np.asarray(valid))]
+                for ranked, i in zip(lists, kept):
+                    hyps.append(ranked[0][0] if ranked else "")
+                    confs.append(None)
+                    nbest_lists.append(ranked)
                 _collect_refs(indices, valid, ds, refs, ids)
         else:
             prog = beam_scan_program(
@@ -392,14 +413,23 @@ def run_inference(
         if len(confs) != len(hyps):  # defensive: never misalign the report
             confs = [None] * len(hyps)
         with open(out_path, "w") as f:
-            for lid, hyp, ref, conf in zip(ids, hyps, refs, confs):
-                f.write(json.dumps({
+            for n, (lid, hyp, ref, conf) in enumerate(
+                zip(ids, hyps, refs, confs)
+            ):
+                rec = {
                     "id": lid,
                     "hyp_uxxxx": hyp,
                     "hyp_text": uxxxx_to_utf8(hyp),
                     "ref_uxxxx": ref,
                     "conf": round(conf, 5) if conf is not None else None,
-                }, ensure_ascii=False) + "\n")
+                }
+                if nbest_lists:
+                    rec["nbest"] = [
+                        {"hyp_uxxxx": h, "hyp_text": uxxxx_to_utf8(h),
+                         "score": round(s_, 4)}
+                        for h, s_ in nbest_lists[n]
+                    ]
+                f.write(json.dumps(rec, ensure_ascii=False) + "\n")
     log(json.dumps(report))
     return report
 
@@ -418,6 +448,10 @@ def main(argv=None):
     p.add_argument("--beam-impl", choices=("device", "host"), default="device",
                    help="beam engine: vectorized on-TPU search (device) or "
                         "the host C++/Python oracle expansion (host)")
+    p.add_argument("--nbest", type=int, default=1,
+                   help="with --decoder beam --beam-impl device: write the "
+                        "top-N ranked hypotheses per line into --out (the "
+                        "reference era's n-best/lattice export surface)")
     p.add_argument("--dump-posteriors", default=None, metavar="DIR",
                    help="also export per-frame log-probs (f16 npz per "
                         "batch + alphabet meta) for external decoding/"
@@ -436,6 +470,7 @@ def main(argv=None):
         decoder=args.decoder, beam_impl=args.beam_impl, lm_path=args.lm,
         lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
         dump_posteriors=args.dump_posteriors,
+        nbest=args.nbest,
     )
 
 
