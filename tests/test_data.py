@@ -270,3 +270,106 @@ class TestBatchShapesDropRemainder:
         emitted = {b.images.shape for b in pipe.epoch(0)}
         declared = {(s[0], s[1], s[2]) for s in pipe.batch_shapes()}
         assert emitted == declared
+
+
+class TestConcatDataset:
+    """Joint-training dataset view (data/shards.ConcatLineDataset +
+    open_dataset): multiple corpora as one index space."""
+
+    def _make(self, tmp_path, name, n, height=16, with_val=True):
+        import numpy as np
+
+        from vistaocr_tpu.data.shards import ShardWriter, write_manifest
+        from vistaocr_tpu.text import utf8_to_uxxxx
+
+        d = str(tmp_path / name)
+        splits = {}
+        for split, count in (("train", n), ("val", 2 if with_val else 0)):
+            if not count:
+                continue
+            w = ShardWriter(d, split, height)
+            for i in range(count):
+                img = np.full((height, 10 + i), 200 + i, np.uint8)
+                w.add(f"{name}-{split}-{i}", img,
+                      utf8_to_uxxxx(f"{name}{i}"))
+            splits[split] = w.close()
+        write_manifest(d, height, splits)
+        return d
+
+    def test_concat_indexing_and_reads(self, tmp_path):
+        import numpy as np
+
+        from vistaocr_tpu.data.shards import open_dataset
+
+        a = self._make(tmp_path, "aa", 3)
+        b = self._make(tmp_path, "bb", 4)
+        ds = open_dataset(f"{a},{b}", "train")
+        assert len(ds) == 7
+        assert ds.widths.tolist() == [10, 11, 12, 10, 11, 12, 13]
+        assert ds.id(0) == "aa-train-0" and ds.id(3) == "bb-train-0"
+        assert ds.transcript(6).startswith("u")
+        rec = ds[4]
+        assert rec.id == "bb-train-1" and rec.image.shape == (16, 11)
+        out = np.zeros((16, 32), np.uint8)
+        assert ds.read_into(5, out) == 12
+        assert (out[:, :12] == 202).all()
+        assert len(list(ds.transcripts())) == 7
+        assert len(ds.ids()) == 7
+
+    def test_open_dataset_skips_missing_split(self, tmp_path):
+        import pytest
+
+        from vistaocr_tpu.data.shards import open_dataset
+
+        a = self._make(tmp_path, "ha", 3, with_val=False)
+        b = self._make(tmp_path, "hb", 2)
+        val = open_dataset(f"{a},{b}", "val")
+        assert len(val) == 2  # only hb has a val split
+        with pytest.raises(KeyError):
+            open_dataset(a, "val")
+
+    def test_height_mismatch_rejected(self, tmp_path):
+        import pytest
+
+        from vistaocr_tpu.data.shards import ConcatLineDataset, ShardedLineDataset
+
+        a = self._make(tmp_path, "h16", 2, height=16)
+        b = self._make(tmp_path, "h32", 2, height=32)
+        with pytest.raises(ValueError, match="height"):
+            ConcatLineDataset([
+                ShardedLineDataset(a, "train"),
+                ShardedLineDataset(b, "train"),
+            ])
+
+    def test_joint_training_smoke(self, tmp_path):
+        """fit() over two comma-joined corpora: alphabet is the union and
+        training runs."""
+        from vistaocr_tpu.data import build_synthetic_dataset
+        from vistaocr_tpu.data.synth import SynthConfig
+        from vistaocr_tpu.train import PRESETS, TrainConfig, fit
+
+        a = str(tmp_path / "ca")
+        b = str(tmp_path / "cb")
+        build_synthetic_dataset(
+            a, num_train=24, num_val=4, height=32, max_width=256,
+            config=SynthConfig(language="charset", charset="ab ",
+                               min_words=1, max_words=2), seed=1)
+        build_synthetic_dataset(
+            b, num_train=24, num_val=4, height=32, max_width=256,
+            config=SynthConfig(language="charset", charset="cd ",
+                               min_words=1, max_words=2), seed=2)
+        base = dict(PRESETS["synth-tiny"])
+        base.update(
+            data_dir=f"{a},{b}", snapshot_dir=str(tmp_path / "run"),
+            epochs=2, bucket_widths=(128, 256), batch_pixels=2**16,
+            val_interval_steps=1000, log_interval=1000,
+        )
+        summary = fit(TrainConfig(**base), log=lambda *a: None)
+        assert summary["steps"] > 0
+        from vistaocr_tpu.checkpoint import load_model
+
+        _, _, alphabet, _ = load_model(str(tmp_path / "run" / "last"))
+        import string
+
+        toks = set("".join(chr(int(t[1:], 16)) for t in alphabet.tokens))
+        assert {"a", "b", "c", "d"} <= toks  # union alphabet

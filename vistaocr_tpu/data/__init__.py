@@ -1,5 +1,6 @@
 from .buckets import BucketSpec, ShapeContract
-from .shards import ShardWriter, ShardedLineDataset
+from .shards import (ConcatLineDataset, ShardWriter,
+                     ShardedLineDataset, open_dataset)
 from .pipeline import BatchPipeline, Batch
 from .synth import SyntheticLineGenerator, build_synthetic_dataset
 
@@ -8,6 +9,8 @@ __all__ = [
     "ShapeContract",
     "ShardWriter",
     "ShardedLineDataset",
+    "ConcatLineDataset",
+    "open_dataset",
     "BatchPipeline",
     "Batch",
     "SyntheticLineGenerator",

@@ -198,3 +198,80 @@ class ShardedLineDataset:
         )
         out[:, :w] = img[:, :w]
         return w
+
+
+class ConcatLineDataset:
+    """Several splits (usually the same split of several corpora) viewed
+    as one dataset — the joint-training recipe (e.g. real IAM + synthetic
+    lines, configs #2/#3 era practice). All parts must share the contract
+    height; indices concatenate in argument order. Exposes exactly the
+    surface BatchPipeline consumes (height, widths, transcript, read_into,
+    ids, len)."""
+
+    def __init__(self, parts: List["ShardedLineDataset"]):
+        if not parts:
+            raise ValueError("ConcatLineDataset needs at least one part")
+        heights = {p.height for p in parts}
+        if len(heights) != 1:
+            raise ValueError(f"mixed dataset heights: {sorted(heights)}")
+        self.parts = list(parts)
+        self.height = parts[0].height
+        self._offsets = np.cumsum([0] + [len(p) for p in parts])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def _loc(self, i: int):
+        p = int(np.searchsorted(self._offsets, i, side="right") - 1)
+        return self.parts[p], i - int(self._offsets[p])
+
+    @property
+    def widths(self) -> np.ndarray:
+        return np.concatenate([p.widths for p in self.parts])
+
+    def transcript(self, i: int) -> str:
+        part, j = self._loc(i)
+        return part.transcript(j)
+
+    def transcripts(self) -> Iterator[str]:
+        for p in self.parts:
+            yield from p.transcripts()
+
+    def ids(self) -> List[str]:
+        out: List[str] = []
+        for p in self.parts:
+            out.extend(p.ids())
+        return out
+
+    def id(self, i: int) -> str:
+        part, j = self._loc(i)
+        return part.id(j)
+
+    def __getitem__(self, i: int) -> LineRecord:
+        part, j = self._loc(i)
+        return part[j]
+
+    def read_into(self, i: int, out: np.ndarray) -> int:
+        part, j = self._loc(i)
+        return part.read_into(j, out)
+
+
+def open_dataset(spec: str, split: str):
+    """Open one split from a dataset spec: a directory, or several
+    comma-separated directories concatenated (joint training). Parts
+    missing the split are skipped; raises KeyError when none has it."""
+    dirs = [d for d in spec.split(",") if d]
+    parts = []
+    missing = []
+    for d in dirs:
+        try:
+            parts.append(ShardedLineDataset(d, split))
+        except KeyError:
+            missing.append(d)
+    if not parts:
+        raise KeyError(
+            f"split {split!r} missing from every dataset in {spec!r}"
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return ConcatLineDataset(parts)

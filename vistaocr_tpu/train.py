@@ -473,10 +473,14 @@ def fit(cfg: TrainConfig, *, mesh=None, log=print) -> dict:
     n_data = mesh.shape["data"]
 
     contract = cfg.contract()
-    train_ds = ShardedLineDataset(cfg.data_dir, "train")
+    # data_dir accepts comma-separated corpora (joint training over e.g.
+    # real + synthetic lines); see data/shards.open_dataset
+    from .data.shards import open_dataset
+
+    train_ds = open_dataset(cfg.data_dir, "train")
     val_ds = None
     try:
-        val_ds = ShardedLineDataset(cfg.data_dir, "val")
+        val_ds = open_dataset(cfg.data_dir, "val")
     except KeyError:
         pass
 
