@@ -98,3 +98,48 @@ class TestHttpServer:
         base, _ = server
         status, body = _get(base + "/stats")
         assert status == 200 and body["lines"] >= 2
+
+
+class TestBatchEndpoint:
+    def test_ocr_batch_roundtrip(self, server):
+        base, cfg = server
+        gen = SyntheticLineGenerator(cfg, seed=79)
+        pairs = [gen.sample(height=32, max_width=250) for _ in range(5)]
+        b64s = []
+        for img, _ in pairs:
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            b64s.append(base64.b64encode(buf.getvalue()).decode())
+        payload = json.dumps({"images_b64": b64s}).encode()
+        status, body = _post(base + "/ocr_batch", payload,
+                             "application/json")
+        assert status == 200, body
+        assert body["lines"] == 5 and body["wall_ms"] > 0
+        texts = [r["text"] for r in body["results"]]
+        # order check against the single-image endpoint (same model, same
+        # decode path — exact agreement expected even where the 200-step
+        # fixture model misreads)
+        singles = []
+        for b64 in b64s:
+            payload1 = json.dumps({"image_b64": b64}).encode()
+            s1, one = _post(base + "/ocr", payload1, "application/json")
+            assert s1 == 200
+            singles.append(one["text"])
+        assert texts == singles
+        # and the model still gets most of them right
+        assert sum(t == ref for t, (_, ref) in zip(texts, pairs)) >= 3
+        for r in body["results"]:
+            assert r["confidence"] is None or 0 < r["confidence"] <= 1.0
+
+    def test_ocr_batch_empty_400(self, server):
+        base, _ = server
+        payload = json.dumps({"images_b64": []}).encode()
+        status, body = _post(base + "/ocr_batch", payload,
+                             "application/json")
+        assert status == 400 and "error" in body
+
+    def test_ocr_batch_bad_payload_400(self, server):
+        base, _ = server
+        status, body = _post(base + "/ocr_batch", b"{broken",
+                             "application/json")
+        assert status == 400 and "error" in body

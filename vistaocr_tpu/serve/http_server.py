@@ -10,6 +10,12 @@ API:
     POST /ocr              -> body: PNG/JPEG bytes, or JSON
                               {"image_b64": "..."}; response:
                               {"text", "uxxxx", "latency_ms", "bucket_width", "confidence"}
+    POST /ocr_batch        -> JSON {"images_b64": ["...", ...]}; response
+                              {"results": [per-image /ocr payloads, input
+                              order], "lines", "wall_ms"} — rides the
+                              throughput-shaped bulk path (ocr_lines:
+                              dispatch-all-then-finalize), not the
+                              per-request queues
 
 Usage:
     python -m vistaocr_tpu.serve.http_server --snapshot <dir>/best \
@@ -53,6 +59,9 @@ def make_handler(service: OcrService):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/ocr_batch":
+                self._do_batch()
+                return
             if self.path != "/ocr":
                 self._send(404, {"error": "unknown path"})
                 return
@@ -72,13 +81,46 @@ def make_handler(service: OcrService):
             except Exception as e:
                 self._send(500, {"error": str(e)})
                 return
-            self._send(200, {
+            self._send(200, self._result_payload(result))
+
+        @staticmethod
+        def _result_payload(result):
+            return {
                 "text": result.text,
                 "uxxxx": result.uxxxx,
                 "latency_ms": round(result.latency_ms, 2),
                 "bucket_width": result.bucket_width,
                 "confidence": (round(result.confidence, 5)
                                if result.confidence is not None else None),
+            }
+
+        def _do_batch(self):
+            import time as _time
+
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                obj = json.loads(self.rfile.read(length))
+                imgs = [
+                    np.asarray(Image.open(io.BytesIO(base64.b64decode(b))))
+                    for b in obj["images_b64"]
+                ]
+            except Exception as e:
+                self._send(400, {"error": f"bad batch payload: {e}"})
+                return
+            if not imgs:
+                self._send(400, {"error": "images_b64 is empty"})
+                return
+            try:
+                t0 = _time.time()
+                results = service.ocr_lines(imgs)
+                wall_ms = (_time.time() - t0) * 1000.0
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            self._send(200, {
+                "results": [self._result_payload(r) for r in results],
+                "lines": len(results),
+                "wall_ms": round(wall_ms, 2),
             })
 
     return Handler
