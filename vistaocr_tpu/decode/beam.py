@@ -62,13 +62,15 @@ def beam_topk(log_probs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
 
 
 class _Beam:
-    __slots__ = ("p_b", "p_nb", "lm_state", "lm_logp")
+    __slots__ = ("p_b", "p_nb", "lm_state", "lm_logp", "lex_node")
 
-    def __init__(self, p_b=NEG_INF, p_nb=NEG_INF, lm_state=(), lm_logp=0.0):
+    def __init__(self, p_b=NEG_INF, p_nb=NEG_INF, lm_state=(), lm_logp=0.0,
+                 lex_node=0):
         self.p_b = p_b  # log P(prefix, ends in blank)
         self.p_nb = p_nb  # log P(prefix, ends in non-blank)
         self.lm_state = lm_state
         self.lm_logp = lm_logp  # cumulative LM log-prob of the prefix
+        self.lex_node = lex_node  # trie state under a lexicon constraint
 
     def total(self) -> float:
         return _logaddexp(self.p_b, self.p_nb)
@@ -81,10 +83,14 @@ def prefix_beam_search(
     lm: Optional[ArpaLM] = None,
     topk_vals: Optional[np.ndarray] = None,  # [T, k] optional precomputed
     topk_ids: Optional[np.ndarray] = None,
+    lexicon=None,  # decode.lexicon.Lexicon: hard vocabulary constraint
 ) -> List[Tuple[str, float]]:
     """Decode one line. Returns up to beam_width (uxxxx, score) hypotheses,
     best first. ``log_probs`` must contain only valid frames (t < frame
-    count); the caller slices by the model's frame mask."""
+    count); the caller slices by the model's frame mask. With ``lexicon``
+    every hypothesis is a concatenation of lexicon words (the Kaldi-era
+    lexicon-FST constraint); finals ending mid-word are dropped unless
+    nothing else survives."""
     T = log_probs.shape[0]
     use_lm = lm is not None and config.lm_alpha != 0.0
     lm_start = lm.start_state() if use_lm else ()
@@ -107,7 +113,8 @@ def prefix_beam_search(
         def get(prefix, src: _Beam) -> _Beam:
             b = next_beams.get(prefix)
             if b is None:
-                b = _Beam(lm_state=src.lm_state, lm_logp=src.lm_logp)
+                b = _Beam(lm_state=src.lm_state, lm_logp=src.lm_logp,
+                          lex_node=src.lex_node)
                 next_beams[prefix] = b
             return b
 
@@ -126,7 +133,8 @@ def prefix_beam_search(
                     continue
                 last = prefix[-1] if prefix else -1
                 if c == last:
-                    # repeated symbol, no blank between: same prefix
+                    # repeated symbol, no blank between: same prefix —
+                    # NEVER lexicon-gated (the prefix does not grow)
                     nb = get(prefix, beam)
                     nb.p_nb = _logaddexp(nb.p_nb, beam.p_nb + p_c)
                     # blank-separated repeat: extended prefix from p_b only
@@ -137,6 +145,10 @@ def prefix_beam_search(
                     src_p = p_total
                 if src_p == NEG_INF:
                     continue
+                if lexicon is not None and not lexicon.allows(
+                    beam.lex_node, c
+                ):
+                    continue  # extension would leave the lexicon
                 eb = next_beams.get(ext)
                 if eb is None:
                     lm_state, lm_logp = beam.lm_state, beam.lm_logp
@@ -144,7 +156,10 @@ def prefix_beam_search(
                         tok = alphabet.token_of(c)
                         lp, lm_state = lm.score(beam.lm_state, tok)
                         lm_logp = beam.lm_logp + lp
-                    eb = _Beam(lm_state=lm_state, lm_logp=lm_logp)
+                    lex_node = (lexicon.next_node(beam.lex_node, c)
+                                if lexicon is not None else 0)
+                    eb = _Beam(lm_state=lm_state, lm_logp=lm_logp,
+                               lex_node=lex_node)
                     next_beams[ext] = eb
                 eb.p_nb = _logaddexp(eb.p_nb, src_p + p_c)
 
@@ -165,8 +180,15 @@ def prefix_beam_search(
             s += config.lm_alpha * b.lm_logp + config.lm_beta * len(prefix)
         return s
 
+    items = beams.items()
+    if lexicon is not None:
+        complete = [
+            (p, b) for p, b in items if lexicon.at_boundary(b.lex_node)
+        ]
+        if complete:  # drop mid-word finals unless nothing survives
+            items = complete
     out = sorted(
-        ((alphabet.decode(prefix), final_score(prefix, b)) for prefix, b in beams.items()),
+        ((alphabet.decode(prefix), final_score(prefix, b)) for prefix, b in items),
         key=lambda x: x[1],
         reverse=True,
     )
@@ -181,6 +203,7 @@ def beam_decode(
     lm=None,  # ArpaLM (python path) | NativeLM (C++ path) | None
     valid: Optional[np.ndarray] = None,
     precomputed_topk=None,  # (vals, ids) from beam_topk, for two-phase callers
+    lexicon=None,  # Lexicon: hard vocabulary constraint (python path only)
 ) -> List[str]:
     """Batch beam decode -> best uxxxx hypothesis per valid sample.
     Device does log-probs + top-k; host expands — through the C++ engine
@@ -200,7 +223,13 @@ def beam_decode(
 
     from . import native_binding as nb
 
-    use_native = nb.available() and (lm is None or isinstance(lm, nb.NativeLM))
+    if lexicon is not None and lm is not None and not hasattr(lm, "score"):
+        raise TypeError(
+            "lexicon decoding runs the Python expansion; pass an ArpaLM "
+            "(decode.lm.ArpaLM.read_arpa), not the native C++ LM handle"
+        )
+    use_native = (nb.available() and lexicon is None
+                  and (lm is None or isinstance(lm, nb.NativeLM)))
     if use_native:
         all_ids, _ = nb.beam_decode_batch_native(
             lp, frames, ids, vals,
@@ -225,6 +254,7 @@ def beam_decode(
         hyps = prefix_beam_search(
             lp[b, :Tb], alphabet, config, lm=lm,
             topk_vals=vals[b, :Tb], topk_ids=ids[b, :Tb],
+            lexicon=lexicon,
         )
         out.append(hyps[0][0] if hyps else "")
     return out

@@ -1,0 +1,107 @@
+"""Lexicon-constrained decoding — the reference era's Kaldi/OpenFst
+lexicon-FST workflow (SURVEY.md C14: frame posteriors were decoded
+through WFSTs composed with a lexicon), rebuilt as a trie constraint on
+the in-process prefix beam search.
+
+A ``Lexicon`` is a character-token trie over an alphabet's class ids.
+During search every beam carries its trie node for the word in
+progress; symbol extensions must follow a trie edge, and the space
+token is only allowed at a word boundary (node is word-final, or root —
+leading/repeated spaces). The constraint is HARD: hypotheses are always
+concatenations of lexicon words. Use with a word list distilled from
+the training transcripts or any external vocabulary.
+
+Host-side only (decode/beam.py's Python engine): lexicon decoding is an
+eval/export workflow; the hot service path keeps the unconstrained
+device search. ``infer --lexicon words.txt`` wires it up.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+from ..text import Alphabet, utf8_to_uxxxx
+
+
+class Lexicon:
+    """Character-token trie over alphabet class ids. Node 0 is the root;
+    ``advance`` returns -1 when the extension leaves the lexicon."""
+
+    def __init__(self, alphabet: Alphabet, words_uxxxx: Iterable[str]):
+        self.alphabet = alphabet
+        space = alphabet.index_of("u0020") if "u0020" in alphabet else -1
+        self.space_id = space
+        self._children: List[Dict[int, int]] = [{}]
+        self._word_final: List[bool] = [False]
+        n_words = 0
+        for w in words_uxxxx:
+            toks = [t for t in w.split() if t]
+            if not toks:
+                continue
+            try:
+                ids = [alphabet.index_of(t) for t in toks]
+            except KeyError:
+                continue  # word uses symbols outside this model's alphabet
+            if space in ids:
+                raise ValueError(
+                    f"lexicon word contains a space token: {w!r}"
+                )
+            node = 0
+            for c in ids:
+                node = self._children[node].setdefault(
+                    c, len(self._children)
+                )
+                if node == len(self._children):  # new node allocated
+                    self._children.append({})
+                    self._word_final.append(False)
+            self._word_final[node] = True
+            n_words += 1
+        if n_words == 0:
+            raise ValueError("lexicon is empty after alphabet filtering")
+        self.num_words = n_words
+
+    @classmethod
+    def from_words(cls, alphabet: Alphabet, words: Iterable[str]) -> "Lexicon":
+        """Build from plain-text words (utf8)."""
+        return cls(alphabet, (utf8_to_uxxxx(w) for w in words))
+
+    @classmethod
+    def read_words(cls, alphabet: Alphabet, path: str) -> "Lexicon":
+        """One word per line, utf8; blank lines and '#' comments skipped."""
+        with open(path, encoding="utf-8") as f:
+            words = [
+                line.strip() for line in f
+                if line.strip() and not line.startswith("#")
+            ]
+        return cls.from_words(alphabet, words)
+
+    # ---- search interface ---------------------------------------------------
+    def start(self) -> int:
+        return 0
+
+    def advance(self, node: int, token_id: int) -> int:
+        """Next trie node after emitting ``token_id`` mid-word, or -1 if
+        no lexicon word continues this way. The space token is handled by
+        ``allows`` / word-boundary logic, not here."""
+        return self._children[node].get(token_id, -1)
+
+    def is_word(self, node: int) -> bool:
+        return self._word_final[node]
+
+    def allows(self, node: int, token_id: int) -> bool:
+        """May a beam at ``node`` emit ``token_id``? Space needs a word
+        boundary; symbols need a trie edge."""
+        if token_id == self.space_id:
+            return node == 0 or self._word_final[node]
+        return token_id in self._children[node]
+
+    def next_node(self, node: int, token_id: int) -> int:
+        """State transition paired with ``allows`` (call only when
+        allowed): space resets to root, symbols follow the trie."""
+        if token_id == self.space_id:
+            return 0
+        return self._children[node][token_id]
+
+    def at_boundary(self, node: int) -> bool:
+        """True when a hypothesis may END here (complete words only)."""
+        return node == 0 or self._word_final[node]

@@ -169,6 +169,7 @@ def run_inference(
     lm_beta: float = 0.0,
     dump_posteriors: Optional[str] = None,
     nbest: int = 1,
+    lexicon_path: Optional[str] = None,
     log=print,
 ) -> dict:
     from .decode import BeamConfig, beam_decode, load_lm
@@ -201,7 +202,24 @@ def run_inference(
         log(f"warning: {pipe.dropped} lines fit no bucket; skipped")
     eval_step = make_eval_step(model)
 
-    lm = load_lm(lm_path, alphabet) if lm_path else None
+    lexicon = None
+    if lexicon_path:
+        if decoder != "beam" or beam_impl != "host":
+            raise ValueError(
+                "--lexicon needs --decoder beam --beam-impl host (the "
+                "constraint runs in the host expansion)"
+            )
+        from .decode.lexicon import Lexicon
+
+        lexicon = Lexicon.read_words(alphabet, lexicon_path)
+    if lexicon is not None and lm_path:
+        # lexicon decoding runs the Python expansion; it needs the
+        # Python LM object, not the native C++ handle
+        from .decode.lm import ArpaLM
+
+        lm = ArpaLM.read_arpa(lm_path)
+    else:
+        lm = load_lm(lm_path, alphabet) if lm_path else None
     if decoder == "beam" and beam_config is None:
         beam_config = BeamConfig(
             lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta
@@ -327,7 +345,7 @@ def run_inference(
             indices, valid, log_probs, frame_mask, topk = entry
             decoded = beam_decode(
                 log_probs, frame_mask, alphabet, beam_config, lm=lm,
-                valid=valid, precomputed_topk=topk,
+                valid=valid, precomputed_topk=topk, lexicon=lexicon,
             )
             hyps.extend(decoded)
             confs.extend([None] * len(decoded))  # host oracle: no scores
@@ -448,6 +466,10 @@ def main(argv=None):
     p.add_argument("--beam-impl", choices=("device", "host"), default="device",
                    help="beam engine: vectorized on-TPU search (device) or "
                         "the host C++/Python oracle expansion (host)")
+    p.add_argument("--lexicon", default=None, metavar="WORDS",
+                   help="word list (one per line, utf8): constrain beam "
+                        "hypotheses to lexicon words (with --beam-impl "
+                        "host) — the Kaldi-era lexicon-FST workflow")
     p.add_argument("--nbest", type=int, default=1,
                    help="with --decoder beam --beam-impl device: write the "
                         "top-N ranked hypotheses per line into --out (the "
@@ -471,6 +493,7 @@ def main(argv=None):
         lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
         dump_posteriors=args.dump_posteriors,
         nbest=args.nbest,
+        lexicon_path=args.lexicon,
     )
 
 
