@@ -104,3 +104,24 @@ class TestErrorReport:
         ])
         assert rep["lines"] == 2 and rep["lines_with_errors"] == 1
         assert rep["substitutions"][0]["ref"] == "d"
+
+
+class TestCalibration:
+    def test_buckets_and_rates(self):
+        refs = [_u("ab")] * 6
+        hyps = [_u("ab"), _u("ab"), _u("ax"), _u("ab"), _u("xx"), _u("ab")]
+        confs = [0.99, 0.97, 0.55, 0.92, 0.40, None]
+        rep = error_report(hyps, refs, confs=confs)
+        cal = rep["calibration"]
+        by_lo = {b["conf_lo"]: b for b in cal}
+        assert by_lo[0.0]["lines"] == 1 and by_lo[0.0]["exact_rate"] == 0.0
+        assert by_lo[0.5]["lines"] == 1 and by_lo[0.5]["exact_rate"] == 0.0
+        assert by_lo[0.9]["lines"] == 1 and by_lo[0.9]["exact_rate"] == 1.0
+        assert by_lo[0.95]["lines"] == 1 and by_lo[0.95]["exact_rate"] == 1.0
+        assert by_lo[0.99]["lines"] == 1 and by_lo[0.99]["exact_rate"] == 1.0
+        # None conf lines are excluded from calibration entirely
+        assert sum(b["lines"] for b in cal) == 5
+
+    def test_absent_without_confs(self):
+        rep = error_report([_u("a")], [_u("a")])
+        assert "calibration" not in rep

@@ -47,6 +47,7 @@ def decode_posteriors(
     lm_beta: float = 0.0,
     beam_width: int = 16,
     topk: int = 8,
+    lexicon_path: Optional[str] = None,
     refs: Optional[Dict[str, str]] = None,
     out_path: Optional[str] = None,
     log=print,
@@ -72,7 +73,17 @@ def decode_posteriors(
     elif decoder == "beam":
         from ..infer import iter_posterior_batches
 
-        lm = load_lm(lm_path, alphabet) if lm_path else None
+        lexicon = None
+        if lexicon_path:
+            from .lexicon import Lexicon
+
+            lexicon = Lexicon.read_words(alphabet, lexicon_path)
+        if lexicon is not None and lm_path:
+            from .lm import ArpaLM
+
+            lm = ArpaLM.read_arpa(lm_path)  # python engine needs .score
+        else:
+            lm = load_lm(lm_path, alphabet) if lm_path else None
         config = BeamConfig(
             beam_width=beam_width, topk=topk,
             lm_alpha=lm_alpha if lm is not None else 0.0, lm_beta=lm_beta,
@@ -91,7 +102,7 @@ def decode_posteriors(
             vals = np.take_along_axis(lp, ids, axis=2)
             decoded = beam_decode(
                 lp, mask, alphabet, config, lm=lm,
-                precomputed_topk=(vals, ids),
+                precomputed_topk=(vals, ids), lexicon=lexicon,
             )
             for lid, hyp in zip(lids, decoded):
                 hyps[lid] = hyp
@@ -144,6 +155,9 @@ def main(argv=None):
     p.add_argument("--lm-beta", type=float, default=0.0)
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--topk", type=int, default=8)
+    p.add_argument("--lexicon", default=None, metavar="WORDS",
+                   help="word list: constrain beam hypotheses to lexicon "
+                        "words (host trie constraint)")
     p.add_argument("--data", default=None,
                    help="dataset dir for references (CER/WER report)")
     p.add_argument("--split", default=None,
@@ -171,6 +185,7 @@ def main(argv=None):
         lm_beta=args.lm_beta,
         beam_width=args.beam_width,
         topk=args.topk,
+        lexicon_path=args.lexicon,
         refs=refs,
         out_path=args.out,
     )

@@ -74,6 +74,7 @@ def error_report(
     refs: Sequence[str],
     ids: Optional[Sequence[str]] = None,
     top: int = 20,
+    confs: Optional[Sequence[Optional[float]]] = None,
 ) -> dict:
     """Corpus error analysis. Returns:
 
@@ -81,7 +82,10 @@ def error_report(
     - ``substitutions``/``insertions``/``deletions``: the ``top`` most
       frequent confusions, each ``{hyp, ref, count}`` with utf8 glyphs;
     - ``worst_lines``: the ``top`` lines by edit count, with per-line
-      CER and aligned diff strings for eyeballing.
+      CER and aligned diff strings for eyeballing;
+    - with ``confs`` (per-line confidences from infer/serve/offline),
+      ``calibration``: per-confidence-bucket line counts + exact-match
+      rates — does low confidence actually flag the bad lines?
     """
     from .error_rates import cer_wer
 
@@ -116,6 +120,27 @@ def error_report(
     lines.sort(key=lambda d: -d["edits"])
     c, w = cer_wer(hyps, refs)
 
+    calibration = None
+    if confs is not None:
+        edges = [0.0, 0.5, 0.8, 0.9, 0.95, 0.99, 1.0001]
+        buckets = [
+            {"conf_lo": edges[i], "conf_hi": min(edges[i + 1], 1.0),
+             "lines": 0, "exact": 0}
+            for i in range(len(edges) - 1)
+        ]
+        for h, r, cf in zip(hyps, refs, confs):
+            if cf is None:
+                continue
+            for bk in buckets:
+                if bk["conf_lo"] <= cf < bk["conf_hi"]:
+                    bk["lines"] += 1
+                    bk["exact"] += int(h == r)
+                    break
+        calibration = [
+            {**bk, "exact_rate": round(bk["exact"] / bk["lines"], 4)}
+            for bk in buckets if bk["lines"]
+        ]
+
     def _tok(t: Optional[str]) -> str:
         return uxxxx_to_utf8(t) if t else ""
 
@@ -135,6 +160,7 @@ def error_report(
             {"ref": _tok(t), "count": n} for t, n in dels.most_common(top)
         ],
         "worst_lines": lines[:top],
+        **({"calibration": calibration} if calibration else {}),
     }
 
 
@@ -159,7 +185,7 @@ def main(argv=None):
     refs_by_id: Dict[str, str] = {
         lid: ds.transcript(i) for i, lid in enumerate(ds.ids())
     }
-    ids, hyps, refs = [], [], []
+    ids, hyps, refs, confs = [], [], [], []
     with open(args.hyps) as f:
         for line in f:
             rec = json.loads(line)
@@ -167,7 +193,11 @@ def main(argv=None):
                 ids.append(rec["id"])
                 hyps.append(rec["hyp_uxxxx"])
                 refs.append(refs_by_id[rec["id"]])
-    rep = error_report(hyps, refs, ids=ids, top=args.top)
+                confs.append(rec.get("conf"))
+    rep = error_report(
+        hyps, refs, ids=ids, top=args.top,
+        confs=confs if any(c is not None for c in confs) else None,
+    )
     if args.json:
         print(json.dumps(rep, ensure_ascii=False))
         return rep
@@ -182,6 +212,11 @@ def main(argv=None):
                     if name == "substitutions" else \
                     repr(r.get("hyp") or r.get("ref"))
                 print(f"  {r['count']:6d}  {left}")
+    if rep.get("calibration"):
+        print("\nconfidence calibration (exact-match rate per bucket):")
+        for bk in rep["calibration"]:
+            print(f"  [{bk['conf_lo']:.2f}, {bk['conf_hi']:.2f})  "
+                  f"lines={bk['lines']:5d}  exact={bk['exact_rate']:.3f}")
     if rep["worst_lines"]:
         print("\nworst lines:")
         for d in rep["worst_lines"]:
