@@ -352,3 +352,90 @@ class TestNBest:
         valid = np.array([True, False] * (lp.shape[0] // 2))
         lists = device_beam_nbest(al, cfg, pre, valid=valid, nbest=2)
         assert len(lists) == valid.sum()
+
+
+class TestDeviceLexicon:
+    """On-device lexicon constraint (dense trie tables in the scan) vs
+    the host oracle's trie gating — same rule, so decoded strings must
+    match exactly."""
+
+    def _lex(self, al, words):
+        from vistaocr_tpu.decode.lexicon import Lexicon
+
+        return Lexicon.from_words(al, words)
+
+    def _alphabet_sp(self, n_symbols):
+        chars = "abcdefghijklmnopqrstuvwxyz"[:n_symbols]
+        return Alphabet.build([utf8_to_uxxxx(chars + " ")])
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    @pytest.mark.parametrize("with_lm", [False, True])
+    def test_matches_host_lexicon_oracle(self, seed, with_lm):
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lm import dense_logp_table, train_char_lm
+
+        lp, mask, frames = _random_case(seed, K=7, peaky=True)
+        al = self._alphabet_sp(5)
+        assert al.num_classes == lp.shape[-1]
+        rng = np.random.default_rng(seed + 100)
+        chars = "abcde"
+        words = sorted({
+            "".join(rng.choice(list(chars), rng.integers(1, 4)))
+            for _ in range(12)
+        })
+        lex = self._lex(al, words)
+        next_tbl, boundary = lex.dense_tables()
+        lm = None
+        lm_kw = {}
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0)
+        if with_lm:
+            corpus = [" ".join(rng.choice(words, rng.integers(1, 4)))
+                      for _ in range(100)]
+            lm = train_char_lm(
+                [utf8_to_uxxxx(t) for t in corpus], order=2)
+            cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                             lm_alpha=0.6, lm_beta=0.2)
+            lm_kw = dict(
+                lm_table=jnp.asarray(dense_logp_table(lm, al, order=2)),
+                lm_alpha=0.6, lm_beta=0.2,
+            )
+        totals, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0, lex_next=jnp.asarray(next_tbl),
+            lex_boundary=jnp.asarray(boundary), **lm_kw,
+        )
+        packed = np.asarray(packed)
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg, lm=lm, lexicon=lex)
+            row = packed[b, :-1]
+            got = al.decode(row[row != 0].tolist())
+            assert got == hyps[0][0], (b, got, hyps[:3])
+
+    def test_constraint_kills_nonwords(self):
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+
+        al = self._alphabet_sp(3)  # a b c + space
+        a = al.index_of(utf8_to_uxxxx("a"))
+        b = al.index_of(utf8_to_uxxxx("b"))
+        c = al.index_of(utf8_to_uxxxx("c"))
+        lex = self._lex(al, ["cab", "ca"])
+        next_tbl, boundary = lex.dense_tables()
+        T = 7
+        lp = np.full((1, T, al.num_classes), -7.0, np.float32)
+        # peaked on "cbb" — not a lexicon word
+        for t, sym in enumerate([c, 0, b, 0, b]):
+            lp[0, t, sym] = -0.3
+        lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+        mask = np.ones((1, T), bool)
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=3,
+            prune_logp=-12.0, lex_next=jnp.asarray(next_tbl),
+            lex_boundary=jnp.asarray(boundary),
+        )
+        row = np.asarray(packed)[0, :-1]
+        got = al.decode(row[row != 0].tolist())
+        # must be a concatenation of lexicon words, never "cbb"
+        text = "".join(chr(int(t[1:], 16)) for t in got.split())
+        for w in text.split():
+            assert w in ("cab", "ca"), (got, text)

@@ -363,3 +363,46 @@ class TestDeviceLMFusion:
             assert isinstance(r.uxxxx, str)
         finally:
             svc.close()
+
+
+class TestDeviceLexicon:
+    """Lexicon-constrained serving: the device-trie path must agree with
+    the host-expansion path on the same word list."""
+
+    def test_device_matches_host_lexicon(self, snapshot, tmp_path):
+        from vistaocr_tpu.data.shards import ShardedLineDataset
+        from vistaocr_tpu.text import uxxxx_to_utf8
+
+        snap, data = snapshot
+        ds = ShardedLineDataset(data, "train")
+        words = set()
+        for tr in ds.transcripts():
+            words.update(uxxxx_to_utf8(tr).split())
+        wl = str(tmp_path / "words.txt")
+        with open(wl, "w") as f:
+            f.write("\n".join(sorted(words)))
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=52,
+        )
+        imgs = [gen.sample(height=32, max_width=380)[0] for _ in range(8)]
+        out = {}
+        for impl in ("device", "host"):
+            svc = OcrService(snap, ServiceConfig(
+                max_batch=8, warmup=False, decoder="beam", beam_impl=impl,
+                lexicon_path=wl,
+            ))
+            try:
+                if impl == "device":
+                    assert svc._lex_kw  # device trie active
+                out[impl] = [r.uxxxx for r in svc.ocr_lines(imgs)]
+            finally:
+                svc.close()
+        assert out["device"] == out["host"]
+        # every hypothesis is a concatenation of lexicon words
+        for u in out["device"]:
+            text = "".join(
+                chr(int(t[1:], 16)) for t in u.split()) if u else ""
+            for w in text.split():
+                assert w in words

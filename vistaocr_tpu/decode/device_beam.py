@@ -84,6 +84,7 @@ def beam_scan(
     lm_table: Optional[jax.Array] = None,  # [K+1, K] or [K+1, K+1, K]
     lm_alpha: float = 0.0,
     lm_beta: float = 0.0,
+    lex_next: Optional[jax.Array] = None,  # [N, K] int32 trie transitions
 ):
     """Traceable device beam search (compose under jit with the forward
     pass). Returns (totals [B, W] f32 final log P per beam slot,
@@ -98,12 +99,24 @@ def beam_scan(
     stay pure CTC. Returns (totals, bonus, parents, tokens) — a 4-tuple —
     in that mode. This removes the two-pass compromise for order <= 3
     LMs (an LM-favored prefix can no longer be pruned below rank W by
-    CTC alone) and the host rescoring work with it."""
+    CTC alone) and the host rescoring work with it.
+
+    With ``lex_next`` (Lexicon.dense_tables), the vocabulary constraint
+    also runs on device: each slot carries its trie node, extensions
+    whose transition is -1 score -inf (the space rule is folded into the
+    table host-side, so the kernel stays branch-free). Returns
+    (totals, extras, parents, tokens) whenever LM or lexicon is active,
+    where extras is a dict with optional "bonus" [B, W] and "lex" [B, W]
+    final trie nodes."""
     B, T, K = log_probs.shape
     W = beam_width
     k = min(topk, K - 1)
     neg = jnp.float32(-jnp.inf)
     use_lm = lm_table is not None
+    use_lex = lex_next is not None
+    if use_lex:
+        lex_flat = lex_next.reshape(-1)
+        NLEX_K = lex_next.shape[1]
     trigram = use_lm and lm_table.ndim == 3
     if use_lm:
         # context axis size K+1: 0 = none, K = <s>, symbols at class ids
@@ -138,9 +151,10 @@ def beam_scan(
     lmp_0 = jnp.zeros((B, W), jnp.int32)
     lml_0 = jnp.full((B, W), K, jnp.int32)
     bonus_0 = jnp.zeros((B, W), jnp.float32)
+    lex_0 = jnp.zeros((B, W), jnp.int32)  # trie root
 
     def body(carry, inp):
-        h1, h2, last, p_b, p_nb, lmp, lml, bonus = carry
+        h1, h2, last, p_b, p_nb, lmp, lml, bonus, lex = carry
         v, i, pb, m = inp  # [B,k] [B,k] [B] [B]
         p_tot = jnp.logaddexp(p_b, p_nb)  # [B, W]
         frame_best = jnp.maximum(v[:, 0], pb)  # [B]
@@ -171,6 +185,13 @@ def beam_scan(
                 rows = jnp.take(lm_flat, lml, axis=0)  # [B, W, K]
             q = jnp.take_along_axis(rows, c, axis=2)  # [B, W, k]
             ext_bonus = bonus[:, :, None] + alpha * q + beta
+        if use_lex:
+            # trie transition per candidate: -1 kills the extension
+            nxt = jnp.take(
+                lex_flat, lex[:, :, None] * NLEX_K + c
+            )  # [B, W, k]
+            ext_pnb = jnp.where(nxt >= 0, ext_pnb, neg)
+            nxt = jnp.maximum(nxt, 0)  # node value moot once mass = -inf
 
         # merge: an extend candidate ext(p, c) coincides with a beam slot
         # already holding p+c (and with nothing else — see module doc).
@@ -226,6 +247,11 @@ def beam_scan(
             n_bon = take(pool_bon)
         else:
             n_lmp, n_lml, n_bon = lmp, lml, bonus
+        if use_lex:
+            pool_lex = jnp.concatenate([lex, flat(nxt)], axis=1)
+            n_lex = take(pool_lex)
+        else:
+            n_lex = lex
 
         # invalid frames are identity: state passes through, nothing emits
         mw = m[:, None]
@@ -237,18 +263,24 @@ def beam_scan(
         lmp = jnp.where(mw, n_lmp, lmp)
         lml = jnp.where(mw, n_lml, lml)
         bonus = jnp.where(mw, n_bon, bonus)
+        lex = jnp.where(mw, n_lex, lex)
         parent = jnp.where(mw, n_parent, jnp.broadcast_to(iota_w[None], (B, W)))
         token = jnp.where(mw, n_token, 0)
-        return (h1, h2, last, p_b, p_nb, lmp, lml, bonus), (parent, token)
+        return (h1, h2, last, p_b, p_nb, lmp, lml, bonus, lex), (parent, token)
 
     carry, (parents, tokens) = jax.lax.scan(
-        body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp_0, lml_0, bonus_0),
+        body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp_0, lml_0, bonus_0, lex_0),
         (vals_t, ids_t, pblank_t, mask_t),
     )
-    _, _, _, p_b, p_nb, _, _, bonus = carry
+    _, _, _, p_b, p_nb, _, _, bonus, lex = carry
     totals = jnp.logaddexp(p_b, p_nb)
-    if use_lm:
-        return totals, bonus, parents, tokens
+    if use_lm or use_lex:
+        extras = {}
+        if use_lm:
+            extras["bonus"] = bonus
+        if use_lex:
+            extras["lex"] = lex
+        return totals, extras, parents, tokens
     return totals, parents, tokens
 
 
@@ -257,6 +289,7 @@ def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float,
                    all_beams: bool, fused_lm: bool, lm_alpha: float,
                    lm_beta: float):
     if fused_lm:
+        # takes lm_table and/or lex_next+lex_boundary as call-time kwargs
         return jax.jit(functools.partial(
             beam_scan_collapsed, beam_width=beam_width, topk=topk,
             prune_logp=prune_logp, lm_alpha=lm_alpha, lm_beta=lm_beta,
@@ -327,6 +360,8 @@ def beam_scan_collapsed(
     lm_table: Optional[jax.Array] = None,
     lm_alpha: float = 0.0,
     lm_beta: float = 0.0,
+    lex_next: Optional[jax.Array] = None,
+    lex_boundary: Optional[jax.Array] = None,  # [N] bool, with lex_next
 ) -> Tuple[jax.Array, jax.Array]:
     """beam_scan + on-device backtrace. Returns (totals [B, W], emitted):
     emitted is [B, T] int32 for the BEST beam per line (token or 0 per
@@ -339,18 +374,27 @@ def beam_scan_collapsed(
     the winner is selected by the FUSED score; emitted comes back PACKED
     as [B, T+1] — the winning beam's token row plus one int32 column
     holding round(winner's pure-CTC total * 1000) for confidence, so LM
-    fusion adds no extra device->host array."""
-    if lm_table is not None:
+    fusion adds no extra device->host array. ``lex_next``/``lex_boundary``
+    (Lexicon.dense_tables) additionally constrain the search on device;
+    selection prefers beams ending at a word boundary (falling back to
+    all beams when none does, matching the host oracle)."""
+    if lm_table is not None or lex_next is not None:
         if all_beams:
             raise ValueError("all_beams is for two-pass rescoring; "
-                             "lm_table fuses the LM in the search")
-        totals, bonus, parents, tokens = beam_scan(
+                             "fused LM/lexicon select on device")
+        totals, extras, parents, tokens = beam_scan(
             log_probs, frame_mask, beam_width=beam_width, topk=topk,
             prune_logp=prune_logp, lm_table=lm_table, lm_alpha=lm_alpha,
-            lm_beta=lm_beta,
+            lm_beta=lm_beta, lex_next=lex_next,
         )
         emitted = device_backtrace(parents, tokens)  # [T, B, W]
-        best = jnp.argmax(totals + bonus, axis=1)  # fused selection
+        fused = totals + extras.get("bonus", 0.0)
+        if lex_next is not None:
+            ok = jnp.take(lex_boundary, extras["lex"])  # [B, W]
+            gated = jnp.where(ok, fused, -jnp.inf)
+            # a line with no boundary-ending beam falls back ungated
+            fused = jnp.where(ok.any(axis=1)[:, None], gated, fused)
+        best = jnp.argmax(fused, axis=1)  # fused selection
         picked = jnp.take_along_axis(
             emitted, best[None, :, None], axis=2
         )[..., 0]  # [T, B]

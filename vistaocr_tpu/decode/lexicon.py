@@ -105,3 +105,27 @@ class Lexicon:
     def at_boundary(self, node: int) -> bool:
         """True when a hypothesis may END here (complete words only)."""
         return node == 0 or self._word_final[node]
+
+    # ---- dense form for the ON-DEVICE beam search ---------------------------
+    def dense_tables(self):
+        """Densify the trie for decode/device_beam.beam_scan: returns
+        ``(next_tbl [N, K] int32, boundary [N] bool)`` where
+        ``next_tbl[node, c]`` is the node after emitting class ``c``
+        (-1 = disallowed) with the space rule FOLDED IN (space column:
+        0 at word boundaries, -1 mid-word), and ``boundary`` marks nodes
+        where a hypothesis may end. The device search then needs one
+        gather per candidate and zero branching — the lexicon-FST on
+        the MXU's terms."""
+        import numpy as np
+
+        N = len(self._children)
+        K = self.alphabet.num_classes
+        next_tbl = np.full((N, K), -1, np.int32)
+        boundary = np.zeros((N,), bool)
+        for node in range(N):
+            for c, nxt in self._children[node].items():
+                next_tbl[node, c] = nxt
+            boundary[node] = self.at_boundary(node)
+            if self.space_id >= 0 and boundary[node]:
+                next_tbl[node, self.space_id] = 0
+        return next_tbl, boundary

@@ -204,11 +204,8 @@ def run_inference(
 
     lexicon = None
     if lexicon_path:
-        if decoder != "beam" or beam_impl != "host":
-            raise ValueError(
-                "--lexicon needs --decoder beam --beam-impl host (the "
-                "constraint runs in the host expansion)"
-            )
+        if decoder != "beam":
+            raise ValueError("--lexicon needs --decoder beam")
         from .decode.lexicon import Lexicon
 
         lexicon = Lexicon.read_words(alphabet, lexicon_path)
@@ -267,14 +264,36 @@ def run_inference(
                 lm_table = jax.device_put(
                     np.asarray(dense_logp_table(py_lm, alphabet)))
                 lm_fusion = "device-interleaved"
-        if lm_table is not None:
+        # On-device lexicon constraint (Lexicon.dense_tables) composes
+        # with the fused LM; an order>3 LM + lexicon needs --beam-impl
+        # host (two-pass rescoring cannot see the constraint).
+        lex_kw = {}
+        if lexicon is not None:
+            if nbest > 1:
+                raise ValueError("--nbest with --lexicon needs "
+                                 "--beam-impl host")
+            if lm is not None and beam_config.lm_alpha != 0 \
+                    and lm_table is None:
+                raise ValueError(
+                    "device lexicon decoding with an LM needs order <= 3 "
+                    "(fused); use --beam-impl host for higher orders"
+                )
+            next_tbl, boundary = lexicon.dense_tables()
+            lex_kw = dict(
+                lex_next=jax.device_put(next_tbl),
+                lex_boundary=jax.device_put(boundary),
+            )
+        if lm_table is not None or lex_kw:
             from .decode.greedy import SCORE_SCALE as _SC
             from .decode.greedy import collapse_frames as _collapse
 
             fused_prog = beam_scan_program(beam_config, fused_lm=True)
+            fused_kw = dict(lex_kw)
+            if lm_table is not None:
+                fused_kw["lm_table"] = lm_table
 
             def prog(lp, fm):
-                return fused_prog(lp, fm, lm_table=lm_table)
+                return fused_prog(lp, fm, **fused_kw)
 
             def finalize(entry):
                 indices, valid, pre = entry

@@ -91,6 +91,11 @@ class ServiceConfig:
     # (vs [B, W, T] finals for rescoring). False, or order > 3, keeps the
     # two-pass path.
     device_lm: bool = True
+    # Lexicon-constrained serving: a word list (one per line, utf8)
+    # restricts hypotheses to concatenations of lexicon words. With the
+    # device beam the trie runs INSIDE the search (Lexicon.dense_tables);
+    # with beam_impl="host" the Python expansion applies it.
+    lexicon_path: Optional[str] = None
     # On-device height normalization (ops/resize.py): requests at
     # non-contract heights are resized INSIDE the per-bucket graph; the
     # host does only grayscale/polarity (and integer pre-pooling for
@@ -218,6 +223,21 @@ class OcrService:
         # [T, B, W] trellis measured 69% of the beam service time.
         bc = config.beam
         want_lm = bool(config.lm_path) and bc.lm_alpha != 0.0
+        # lexicon constraint: trie for the host path, dense tables for
+        # the device search
+        self._lexicon = None
+        self._lex_kw = {}
+        if config.lexicon_path and config.decoder == "beam":
+            from ..decode.lexicon import Lexicon
+
+            self._lexicon = Lexicon.read_words(
+                self.alphabet, config.lexicon_path)
+            if config.beam_impl == "device":
+                next_tbl, boundary = self._lexicon.dense_tables()
+                self._lex_kw = dict(
+                    lex_next=jax.device_put(next_tbl),
+                    lex_boundary=jax.device_put(boundary),
+                )
         # densify an order-<=3 LM for interleaved on-device fusion
         self._lm_table = None
         if want_lm and config.device_lm and config.beam_impl == "device":
@@ -234,18 +254,26 @@ class OcrService:
                 else:
                     self._lm_table = jax.device_put(table)
         self._beam_all = want_lm and self._lm_table is None
+        if self._lex_kw and want_lm and self._lm_table is None:
+            raise ValueError(
+                "device lexicon serving with an LM needs order <= 3 "
+                "(fused); use beam_impl='host' for higher orders"
+            )
 
         def _fused_beam(params, batch_stats, images, widths):
             lp, fm = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 images, widths, train=False,
             )
-            if self._lm_table is not None:
+            if self._lm_table is not None or self._lex_kw:
+                kw = dict(self._lex_kw)
+                if self._lm_table is not None:
+                    kw.update(lm_table=self._lm_table,
+                              lm_alpha=float(bc.lm_alpha),
+                              lm_beta=float(bc.lm_beta))
                 return beam_scan_collapsed(
                     lp, fm, beam_width=bc.beam_width, topk=bc.topk,
-                    prune_logp=float(bc.prune_logp),
-                    lm_table=self._lm_table, lm_alpha=float(bc.lm_alpha),
-                    lm_beta=float(bc.lm_beta),
+                    prune_logp=float(bc.prune_logp), **kw,
                 )
             return beam_scan_collapsed(
                 lp, fm, beam_width=bc.beam_width, topk=bc.topk,
@@ -280,12 +308,15 @@ class OcrService:
         def _raw_beam(params, batch_stats, raw, heights, widths, new_widths):
             lp, fm = _forward_raw(params, batch_stats, raw, heights, widths,
                                   new_widths)
-            if self._lm_table is not None:
+            if self._lm_table is not None or self._lex_kw:
+                kw = dict(self._lex_kw)
+                if self._lm_table is not None:
+                    kw.update(lm_table=self._lm_table,
+                              lm_alpha=float(bc.lm_alpha),
+                              lm_beta=float(bc.lm_beta))
                 return beam_scan_collapsed(
                     lp, fm, beam_width=bc.beam_width, topk=bc.topk,
-                    prune_logp=float(bc.prune_logp),
-                    lm_table=self._lm_table, lm_alpha=float(bc.lm_alpha),
-                    lm_beta=float(bc.lm_beta),
+                    prune_logp=float(bc.prune_logp), **kw,
                 )
             return beam_scan_collapsed(
                 lp, fm, beam_width=bc.beam_width, topk=bc.topk,
@@ -295,9 +326,16 @@ class OcrService:
         self._eval_raw = _jit(_forward_raw, 4)
         self._eval_raw_greedy = _jit(_raw_greedy, 4)
         self._eval_raw_beam = _jit(_raw_beam, 4)
-        self._lm = (
-            load_lm(config.lm_path, self.alphabet) if config.lm_path else None
-        )
+        if self._lexicon is not None and config.lm_path:
+            from ..decode.lm import ArpaLM
+
+            # host lexicon expansion needs the Python LM object
+            self._lm = ArpaLM.read_arpa(config.lm_path)
+        else:
+            self._lm = (
+                load_lm(config.lm_path, self.alphabet)
+                if config.lm_path else None
+            )
         # uxxxx -> utf8 via a per-alphabet table: re-parsing each hex token
         # per line measured ~45% of the host finalize cost.
         self._char_of = {
@@ -442,7 +480,8 @@ class OcrService:
         )
         if self.config.decoder == "beam":
             if self.config.beam_impl == "device":
-                kind = ("beam_fused" if self._lm_table is not None
+                kind = ("beam_fused"
+                        if self._lm_table is not None or self._lex_kw
                         else "beam_dev")
                 return (kind, self._eval_beam(*args))
             return ("beam_host", self._eval_step(*args))
@@ -462,7 +501,8 @@ class OcrService:
         )
         if self.config.decoder == "beam":
             if self.config.beam_impl == "device":
-                kind = ("beam_fused" if self._lm_table is not None
+                kind = ("beam_fused"
+                        if self._lm_table is not None or self._lex_kw
                         else "beam_dev")
                 return (kind, self._eval_raw_beam(*args))
             return ("beam_host", self._eval_raw(*args))
@@ -516,7 +556,7 @@ class OcrService:
         log_probs, frame_mask = data
         return beam_decode(
             log_probs, frame_mask, self.alphabet, self.config.beam,
-            lm=self._lm, valid=valid,
+            lm=self._lm, valid=valid, lexicon=self._lexicon,
         )
 
     def _warmup(self):
