@@ -125,3 +125,11 @@ class TestCalibration:
     def test_absent_without_confs(self):
         rep = error_report([_u("a")], [_u("a")])
         assert "calibration" not in rep
+
+
+class TestCalibrationTopBucket:
+    def test_conf_exactly_one_counted(self):
+        rep = error_report([_u("a"), _u("b")], [_u("a"), _u("b")],
+                           confs=[1.0, 0.995])
+        cal = {b["conf_lo"]: b for b in rep["calibration"]}
+        assert cal[0.99]["lines"] == 2 and cal[0.99]["exact_rate"] == 1.0

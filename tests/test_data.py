@@ -373,3 +373,44 @@ class TestConcatDataset:
 
         toks = set("".join(chr(int(t[1:], 16)) for t in alphabet.tokens))
         assert {"a", "b", "c", "d"} <= toks  # union alphabet
+
+    def test_partial_split_coverage_warns(self, tmp_path):
+        import warnings
+
+        from vistaocr_tpu.data.shards import open_dataset
+
+        a = self._make(tmp_path, "wa", 3)
+        b = self._make(tmp_path, "wb", 2, with_val=False)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            val = open_dataset(f"{a},{b}", "val")
+        assert len(val) == 2
+        assert any("missing" in str(w.message) for w in rec)
+
+    def test_infer_accepts_comma_spec(self, tmp_path):
+        """Eval surfaces accept the same comma-joined corpus spec as
+        training (review finding: they used to reject it)."""
+        from vistaocr_tpu.data import build_synthetic_dataset
+        from vistaocr_tpu.data.synth import SynthConfig
+        from vistaocr_tpu.infer import run_inference
+        from vistaocr_tpu.train import PRESETS, TrainConfig, fit
+
+        a = str(tmp_path / "ia")
+        b = str(tmp_path / "ib")
+        for d, seed in ((a, 3), (b, 4)):
+            build_synthetic_dataset(
+                d, num_train=24, num_val=4, num_test=4, height=32,
+                max_width=256,
+                config=SynthConfig(language="charset", charset="ab ",
+                                   min_words=1, max_words=2), seed=seed)
+        base = dict(PRESETS["synth-tiny"])
+        base.update(
+            data_dir=f"{a},{b}", snapshot_dir=str(tmp_path / "run"),
+            epochs=2, bucket_widths=(128, 256), batch_pixels=2**16,
+            val_interval_steps=1000, log_interval=1000,
+        )
+        fit(TrainConfig(**base), log=lambda *a: None)
+        rep = run_inference(
+            str(tmp_path / "run" / "last"), f"{a},{b}", "test",
+            batch_pixels=2**16, log=lambda *a: None)
+        assert rep["lines"] == 8  # both corpora's test splits

@@ -272,6 +272,14 @@ def open_dataset(spec: str, split: str):
         raise KeyError(
             f"split {split!r} missing from every dataset in {spec!r}"
         )
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"split {split!r} missing from {missing}; training/eval uses "
+            f"only {[d for d in dirs if d not in missing]}",
+            stacklevel=2,
+        )
     if len(parts) == 1:
         return parts[0]
     return ConcatLineDataset(parts)

@@ -11,9 +11,11 @@ leading/repeated spaces). The constraint is HARD: hypotheses are always
 concatenations of lexicon words. Use with a word list distilled from
 the training transcripts or any external vocabulary.
 
-Host-side only (decode/beam.py's Python engine): lexicon decoding is an
-eval/export workflow; the hot service path keeps the unconstrained
-device search. ``infer --lexicon words.txt`` wires it up.
+Two engines share the rule: the host Python expansion
+(decode/beam.py, ``beam_impl="host"``) walks the trie directly, and the
+device beam search gathers from ``dense_tables()`` inside its scan —
+string-exact parity is pinned in tests. ``infer --lexicon words.txt``
+and ``ServiceConfig.lexicon_path`` wire it up.
 """
 
 from __future__ import annotations
@@ -120,6 +122,13 @@ class Lexicon:
 
         N = len(self._children)
         K = self.alphabet.num_classes
+        if N * K >= 2**31:
+            raise ValueError(
+                f"lexicon too large for the dense device form: {N} trie "
+                f"nodes x {K} classes overflows the int32 flat index "
+                "(and the table itself would be multi-GB); use the host "
+                "expansion (beam_impl='host') for this vocabulary"
+            )
         next_tbl = np.full((N, K), -1, np.int32)
         boundary = np.zeros((N,), bool)
         for node in range(N):

@@ -58,6 +58,8 @@ def decode_posteriors(
     JSONL when given."""
     from ..infer import iter_posteriors, load_posterior_alphabet
 
+    if lexicon_path and decoder != "beam":
+        raise ValueError("lexicon_path needs decoder='beam'")
     alphabet = load_posterior_alphabet(dump_dir)
     t0 = time.time()
     hyps: Dict[str, str] = {}
@@ -169,11 +171,11 @@ def main(argv=None):
     if args.data:
         import os
 
-        from ..data.shards import ShardedLineDataset
+        from ..data.shards import open_dataset
 
         with open(os.path.join(args.posteriors, "meta.json")) as f:
             split = args.split or json.load(f)["split"]
-        ds = ShardedLineDataset(args.data, split)
+        ds = open_dataset(args.data, split)
         refs = {
             lid: ds.transcript(i) for i, lid in enumerate(ds.ids())
         }

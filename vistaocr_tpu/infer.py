@@ -193,7 +193,10 @@ def run_inference(
     # Snapshots deserialize to host numpy; pin weights on device once so
     # each batch doesn't re-upload them (serve/service.py has the numbers).
     variables = jax.device_put(variables)
-    ds = ShardedLineDataset(data_dir, split)
+    # comma-joined corpus specs evaluate like they train (open_dataset)
+    from .data.shards import open_dataset
+
+    ds = open_dataset(data_dir, split)
     pipe = BatchPipeline(
         ds, alphabet, contract, batch_pixels=batch_pixels,
         drop_remainder=False, shuffle=False,
@@ -270,8 +273,10 @@ def run_inference(
         lex_kw = {}
         if lexicon is not None:
             if nbest > 1:
-                raise ValueError("--nbest with --lexicon needs "
-                                 "--beam-impl host")
+                raise ValueError(
+                    "--nbest does not compose with --lexicon (n-best "
+                    "lists come from the unconstrained all-beams search)"
+                )
             if lm is not None and beam_config.lm_alpha != 0 \
                     and lm_table is None:
                 raise ValueError(
@@ -316,8 +321,7 @@ def run_inference(
                     alphabet, beam_config, pre, lm=lm, valid=valid,
                     nbest=nbest,
                 )
-                kept = [i for i in np.flatnonzero(np.asarray(valid))]
-                for ranked, i in zip(lists, kept):
+                for ranked in lists:
                     hyps.append(ranked[0][0] if ranked else "")
                     confs.append(None)
                     nbest_lists.append(ranked)

@@ -148,6 +148,9 @@ def main(argv=None):
                         "host C++/Python oracle expansion")
     p.add_argument("--lm", default=None)
     p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--lexicon", default=None, metavar="WORDS",
+                   help="word list: constrain beam hypotheses to lexicon "
+                        "words (device trie with --decoder beam)")
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--no-device-resize", action="store_true",
@@ -167,6 +170,7 @@ def main(argv=None):
         beam_impl=args.beam_impl,
         beam=BeamConfig(lm_alpha=args.lm_alpha if args.lm else 0.0),
         lm_path=args.lm,
+        lexicon_path=args.lexicon,
         device_resize=not args.no_device_resize,
         warmup=not args.no_warmup,
     )

@@ -227,6 +227,11 @@ class OcrService:
         # the device search
         self._lexicon = None
         self._lex_kw = {}
+        if config.lexicon_path and config.decoder != "beam":
+            raise ValueError(
+                "lexicon_path needs decoder='beam' (the constraint lives "
+                "in the beam search)"
+            )
         if config.lexicon_path and config.decoder == "beam":
             from ..decode.lexicon import Lexicon
 

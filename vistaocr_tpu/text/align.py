@@ -131,8 +131,10 @@ def error_report(
         for h, r, cf in zip(hyps, refs, confs):
             if cf is None:
                 continue
-            for bk in buckets:
-                if bk["conf_lo"] <= cf < bk["conf_hi"]:
+            for i, bk in enumerate(buckets):
+                # match against the RAW upper edge (1.0001) so cf == 1.0
+                # lands in the top bucket; conf_hi is display-clamped
+                if edges[i] <= cf < edges[i + 1]:
                     bk["lines"] += 1
                     bk["exact"] += int(h == r)
                     break
@@ -179,9 +181,9 @@ def main(argv=None):
                    help="emit the raw report dict instead of tables")
     args = p.parse_args(argv)
 
-    from ..data.shards import ShardedLineDataset
+    from ..data.shards import open_dataset
 
-    ds = ShardedLineDataset(args.data, args.split)
+    ds = open_dataset(args.data, args.split)
     refs_by_id: Dict[str, str] = {
         lid: ds.transcript(i) for i, lid in enumerate(ds.ids())
     }
