@@ -48,9 +48,11 @@ def _logaddexp(a: float, b: float) -> float:
 class BeamConfig:
     beam_width: int = 16
     topk: int = 8  # per-frame candidate classes fed to expansion
-    lm_alpha: float = 0.0  # LM weight (0 = pure CTC)
+    lm_alpha: float = 0.0  # char-LM weight (0 = pure CTC)
     lm_beta: float = 0.0  # per-token insertion bonus
     prune_logp: float = -12.0  # drop frame candidates below best-this-frame + this
+    word_lm_alpha: float = 0.0  # word-LM weight (host expansion only)
+    word_lm_beta: float = 0.0  # per-WORD insertion bonus
 
 
 def beam_topk(log_probs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -62,15 +64,19 @@ def beam_topk(log_probs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
 
 
 class _Beam:
-    __slots__ = ("p_b", "p_nb", "lm_state", "lm_logp", "lex_node")
+    __slots__ = ("p_b", "p_nb", "lm_state", "lm_logp", "lex_node",
+                 "wlm_state", "wlm_logp", "wlm_words")
 
     def __init__(self, p_b=NEG_INF, p_nb=NEG_INF, lm_state=(), lm_logp=0.0,
-                 lex_node=0):
+                 lex_node=0, wlm_state=(), wlm_logp=0.0, wlm_words=0):
         self.p_b = p_b  # log P(prefix, ends in blank)
         self.p_nb = p_nb  # log P(prefix, ends in non-blank)
         self.lm_state = lm_state
         self.lm_logp = lm_logp  # cumulative LM log-prob of the prefix
         self.lex_node = lex_node  # trie state under a lexicon constraint
+        self.wlm_state = wlm_state  # word-LM history (completed words)
+        self.wlm_logp = wlm_logp  # cumulative word-LM log-prob
+        self.wlm_words = wlm_words  # completed-word count
 
     def total(self) -> float:
         return _logaddexp(self.p_b, self.p_nb)
@@ -84,19 +90,50 @@ def prefix_beam_search(
     topk_vals: Optional[np.ndarray] = None,  # [T, k] optional precomputed
     topk_ids: Optional[np.ndarray] = None,
     lexicon=None,  # decode.lexicon.Lexicon: hard vocabulary constraint
+    word_lm: Optional[ArpaLM] = None,  # ARPA over utf8 WORD tokens
 ) -> List[Tuple[str, float]]:
     """Decode one line. Returns up to beam_width (uxxxx, score) hypotheses,
     best first. ``log_probs`` must contain only valid frames (t < frame
     count); the caller slices by the model's frame mask. With ``lexicon``
     every hypothesis is a concatenation of lexicon words (the Kaldi-era
     lexicon-FST constraint); finals ending mid-word are dropped unless
-    nothing else survives."""
+    nothing else survives.
+
+    ``word_lm`` fuses a WORD-level n-gram (the Kaldi-era G.fst): each
+    completed word (at a space emission, and the trailing word at
+    finalization) is scored as one LM token, weighted by
+    ``config.word_lm_alpha`` with a per-word ``word_lm_beta`` bonus.
+    Composes with the char LM and the lexicon; words are utf8 strings,
+    matching standard word-ARPA files. No </s> term is applied (line
+    fragments are not sentences)."""
+    from ..text import uxxxx_to_utf8
+
     T = log_probs.shape[0]
     use_lm = lm is not None and config.lm_alpha != 0.0
+    use_wlm = word_lm is not None and config.word_lm_alpha != 0.0
     lm_start = lm.start_state() if use_lm else ()
+    wlm_start = word_lm.start_state() if use_wlm else ()
+    try:
+        space_id = alphabet.index_of("u0020")
+    except KeyError:
+        space_id = -1
+    if use_wlm and space_id < 0:
+        raise ValueError(
+            "word_lm fusion needs the space token u0020 in the alphabet"
+        )
+
+    def _trailing_word(prefix: Tuple[int, ...]) -> str:
+        """utf8 of the tokens after the last space (may be '')."""
+        j = len(prefix)
+        while j > 0 and prefix[j - 1] != space_id:
+            j -= 1
+        return uxxxx_to_utf8(
+            " ".join(alphabet.token_of(i) for i in prefix[j:])
+        )
 
     beams: Dict[Tuple[int, ...], _Beam] = {
-        (): _Beam(p_b=0.0, p_nb=NEG_INF, lm_state=lm_start, lm_logp=0.0)
+        (): _Beam(p_b=0.0, p_nb=NEG_INF, lm_state=lm_start, lm_logp=0.0,
+                  wlm_state=wlm_start)
     }
 
     if topk_vals is None or topk_ids is None:
@@ -114,7 +151,8 @@ def prefix_beam_search(
             b = next_beams.get(prefix)
             if b is None:
                 b = _Beam(lm_state=src.lm_state, lm_logp=src.lm_logp,
-                          lex_node=src.lex_node)
+                          lex_node=src.lex_node, wlm_state=src.wlm_state,
+                          wlm_logp=src.wlm_logp, wlm_words=src.wlm_words)
                 next_beams[prefix] = b
             return b
 
@@ -158,17 +196,31 @@ def prefix_beam_search(
                         lm_logp = beam.lm_logp + lp
                     lex_node = (lexicon.next_node(beam.lex_node, c)
                                 if lexicon is not None else 0)
+                    wlm_state = beam.wlm_state
+                    wlm_logp, wlm_words = beam.wlm_logp, beam.wlm_words
+                    if use_wlm and c == space_id:
+                        word = _trailing_word(prefix)
+                        if word:  # consecutive spaces score nothing
+                            wlp, wlm_state = word_lm.score(
+                                beam.wlm_state, word)
+                            wlm_logp = beam.wlm_logp + wlp
+                            wlm_words = beam.wlm_words + 1
                     eb = _Beam(lm_state=lm_state, lm_logp=lm_logp,
-                               lex_node=lex_node)
+                               lex_node=lex_node, wlm_state=wlm_state,
+                               wlm_logp=wlm_logp, wlm_words=wlm_words)
                     next_beams[ext] = eb
                 eb.p_nb = _logaddexp(eb.p_nb, src_p + p_c)
 
-        # prune to beam width by fused score
+        # prune to beam width by fused score (the trailing incomplete
+        # word is unscored until it completes — standard word-LM fusion)
         def fused(item):
             prefix, b = item
             s = b.total()
             if use_lm:
                 s += config.lm_alpha * b.lm_logp + config.lm_beta * len(prefix)
+            if use_wlm:
+                s += (config.word_lm_alpha * b.wlm_logp
+                      + config.word_lm_beta * b.wlm_words)
             return s
 
         ranked = sorted(next_beams.items(), key=fused, reverse=True)
@@ -178,6 +230,15 @@ def prefix_beam_search(
         s = b.total()
         if use_lm:
             s += config.lm_alpha * b.lm_logp + config.lm_beta * len(prefix)
+        if use_wlm:
+            wlm_logp, wlm_words = b.wlm_logp, b.wlm_words
+            word = _trailing_word(prefix)
+            if word:  # score the final (uncompleted-by-space) word
+                wlp, _ = word_lm.score(b.wlm_state, word)
+                wlm_logp += wlp
+                wlm_words += 1
+            s += (config.word_lm_alpha * wlm_logp
+                  + config.word_lm_beta * wlm_words)
         return s
 
     items = beams.items()
@@ -204,6 +265,7 @@ def beam_decode(
     valid: Optional[np.ndarray] = None,
     precomputed_topk=None,  # (vals, ids) from beam_topk, for two-phase callers
     lexicon=None,  # Lexicon: hard vocabulary constraint (python path only)
+    word_lm=None,  # ArpaLM over utf8 words (python path only)
 ) -> List[str]:
     """Batch beam decode -> best uxxxx hypothesis per valid sample.
     Device does log-probs + top-k; host expands — through the C++ engine
@@ -228,7 +290,7 @@ def beam_decode(
             "lexicon decoding runs the Python expansion; pass an ArpaLM "
             "(decode.lm.ArpaLM.read_arpa), not the native C++ LM handle"
         )
-    use_native = (nb.available() and lexicon is None
+    use_native = (nb.available() and lexicon is None and word_lm is None
                   and (lm is None or isinstance(lm, nb.NativeLM)))
     if use_native:
         all_ids, _ = nb.beam_decode_batch_native(
@@ -254,7 +316,7 @@ def beam_decode(
         hyps = prefix_beam_search(
             lp[b, :Tb], alphabet, config, lm=lm,
             topk_vals=vals[b, :Tb], topk_ids=ids[b, :Tb],
-            lexicon=lexicon,
+            lexicon=lexicon, word_lm=word_lm,
         )
         out.append(hyps[0][0] if hyps else "")
     return out

@@ -170,6 +170,9 @@ def run_inference(
     dump_posteriors: Optional[str] = None,
     nbest: int = 1,
     lexicon_path: Optional[str] = None,
+    word_lm_path: Optional[str] = None,
+    word_lm_alpha: float = 0.5,
+    word_lm_beta: float = 0.0,
     log=print,
 ) -> dict:
     from .decode import BeamConfig, beam_decode, load_lm
@@ -212,6 +215,16 @@ def run_inference(
         from .decode.lexicon import Lexicon
 
         lexicon = Lexicon.read_words(alphabet, lexicon_path)
+    word_lm = None
+    if word_lm_path:
+        if decoder != "beam" or beam_impl != "host":
+            raise ValueError(
+                "--word-lm needs --decoder beam --beam-impl host (word "
+                "fusion runs in the host expansion)"
+            )
+        from .decode.lm import ArpaLM
+
+        word_lm = ArpaLM.read_arpa(word_lm_path)
     if lexicon is not None and lm_path:
         # lexicon decoding runs the Python expansion; it needs the
         # Python LM object, not the native C++ handle
@@ -222,7 +235,9 @@ def run_inference(
         lm = load_lm(lm_path, alphabet) if lm_path else None
     if decoder == "beam" and beam_config is None:
         beam_config = BeamConfig(
-            lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta
+            lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta,
+            word_lm_alpha=word_lm_alpha if word_lm is not None else 0.0,
+            word_lm_beta=word_lm_beta,
         )
     dumper = (
         _PosteriorDumper(dump_posteriors, alphabet, snapshot, split, ds)
@@ -369,6 +384,7 @@ def run_inference(
             decoded = beam_decode(
                 log_probs, frame_mask, alphabet, beam_config, lm=lm,
                 valid=valid, precomputed_topk=topk, lexicon=lexicon,
+                word_lm=word_lm,
             )
             hyps.extend(decoded)
             confs.extend([None] * len(decoded))  # host oracle: no scores
@@ -489,6 +505,12 @@ def main(argv=None):
     p.add_argument("--beam-impl", choices=("device", "host"), default="device",
                    help="beam engine: vectorized on-TPU search (device) or "
                         "the host C++/Python oracle expansion (host)")
+    p.add_argument("--word-lm", default=None, metavar="ARPA",
+                   help="word-level ARPA LM (utf8 word tokens): fuse at "
+                        "word boundaries (with --beam-impl host) — the "
+                        "Kaldi-era G.fst workflow")
+    p.add_argument("--word-lm-alpha", type=float, default=0.5)
+    p.add_argument("--word-lm-beta", type=float, default=0.0)
     p.add_argument("--lexicon", default=None, metavar="WORDS",
                    help="word list (one per line, utf8): constrain beam "
                         "hypotheses to lexicon words (with --beam-impl "
@@ -517,6 +539,9 @@ def main(argv=None):
         dump_posteriors=args.dump_posteriors,
         nbest=args.nbest,
         lexicon_path=args.lexicon,
+        word_lm_path=args.word_lm,
+        word_lm_alpha=args.word_lm_alpha,
+        word_lm_beta=args.word_lm_beta,
     )
 
 
