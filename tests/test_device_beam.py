@@ -439,3 +439,65 @@ class TestDeviceLexicon:
         text = "".join(chr(int(t[1:], 16)) for t in got.split())
         for w in text.split():
             assert w in ("cab", "ca"), (got, text)
+
+
+class TestDeviceWordLM:
+    """Full L∘G on device: lexicon trie + word-bigram fusion inside the
+    scan vs the host oracle (lexicon + word_lm) — string-exact."""
+
+    def _alphabet_sp(self, n_symbols):
+        chars = "abcdefghijklmnopqrstuvwxyz"[:n_symbols]
+        return Alphabet.build([utf8_to_uxxxx(chars + " ")])
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_matches_host_word_lm_oracle(self, seed):
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import (
+            dense_word_logp_table,
+            train_char_lm,
+        )
+
+        lp, mask, frames = _random_case(seed, K=7, peaky=True)
+        al = self._alphabet_sp(5)
+        rng = np.random.default_rng(seed + 31)
+        words = sorted({
+            "".join(rng.choice(list("abcde"), rng.integers(1, 4)))
+            for _ in range(10)
+        })
+        lex = Lexicon.from_words(al, words)
+        # word bigram over utf8 word tokens
+        wlm = train_char_lm(
+            [" ".join(rng.choice(words, rng.integers(1, 4)))
+             for _ in range(120)],
+            order=2,
+        )
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                         word_lm_alpha=0.8, word_lm_beta=0.3)
+        next_tbl, boundary = lex.dense_tables()
+        wt = dense_word_logp_table(wlm, lex.words)
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0,
+            lex_next=jnp.asarray(next_tbl),
+            lex_boundary=jnp.asarray(boundary),
+            word_table=jnp.asarray(wt),
+            word_ids=jnp.asarray(lex.word_id_table()),
+            space_id=lex.space_id, word_alpha=0.8, word_beta=0.3,
+        )
+        packed = np.asarray(packed)
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg, lexicon=lex, word_lm=wlm)
+            row = packed[b, :-1]
+            got = al.decode(row[row != 0].tolist())
+            assert got == hyps[0][0], (b, got, hyps[:3])
+
+    def test_word_lm_requires_lexicon_tables(self):
+        from vistaocr_tpu.decode.device_beam import beam_scan
+
+        lp = jnp.zeros((1, 4, 4), jnp.float32)
+        mask = jnp.ones((1, 4), bool)
+        with pytest.raises(ValueError, match="lex_next"):
+            beam_scan(lp, mask, beam_width=4, topk=2, prune_logp=-12.0,
+                      word_table=jnp.zeros((3, 2)))

@@ -406,3 +406,40 @@ class TestDeviceLexicon:
                 chr(int(t[1:], 16)) for t in u.split()) if u else ""
             for w in text.split():
                 assert w in words
+
+    def test_device_word_lm_matches_host(self, snapshot, tmp_path):
+        """Full L∘G serving: device (dense trie + word-bigram tables)
+        vs host expansion — identical transcripts."""
+        from vistaocr_tpu.data.shards import ShardedLineDataset
+        from vistaocr_tpu.decode import BeamConfig
+        from vistaocr_tpu.decode.lm import train_char_lm
+        from vistaocr_tpu.text import uxxxx_to_utf8
+
+        snap, data = snapshot
+        ds = ShardedLineDataset(data, "train")
+        sentences = [uxxxx_to_utf8(t) for t in ds.transcripts()]
+        words = sorted({w for s in sentences for w in s.split()})
+        wl = str(tmp_path / "w.txt")
+        with open(wl, "w") as f:
+            f.write("\n".join(words))
+        glm = str(tmp_path / "g.arpa")
+        train_char_lm(sentences, order=2).write_arpa(glm)
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=62,
+        )
+        imgs = [gen.sample(height=32, max_width=380)[0] for _ in range(6)]
+        bc = BeamConfig(beam_width=8, topk=4, word_lm_alpha=0.6,
+                        word_lm_beta=0.3)
+        out = {}
+        for impl in ("device", "host"):
+            svc = OcrService(snap, ServiceConfig(
+                max_batch=8, warmup=False, decoder="beam", beam_impl=impl,
+                lexicon_path=wl, word_lm_path=glm, beam=bc,
+            ))
+            try:
+                out[impl] = [r.uxxxx for r in svc.ocr_lines(imgs)]
+            finally:
+                svc.close()
+        assert out["device"] == out["host"]

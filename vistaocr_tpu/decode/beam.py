@@ -56,11 +56,15 @@ class BeamConfig:
 
 
 def beam_topk(log_probs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Device-side per-frame top-k: [B, T, K] -> ([B, T, k] logp, ids).
-    The blank row is ALWAYS included by the host expansion regardless of
-    top-k membership, so k only bounds symbol candidates."""
-    vals, ids = jax.lax.top_k(log_probs, k)
-    return vals, ids.astype(jnp.int32)
+    """Device-side per-frame top-k over SYMBOL classes (ids >= 1):
+    [B, T, K] -> ([B, T, k] logp, ids). The blank row is always handled
+    separately by the expansion, so k bounds symbol candidates only —
+    the same candidate rule as prefix_beam_search's self-computed top-k
+    and the device beam scan. (Until round 3 this topped over ALL
+    classes, silently costing one symbol candidate whenever blank ranked
+    in the top-k — a host/device candidate-set divergence.)"""
+    vals, ids = jax.lax.top_k(log_probs[..., 1:], min(k, log_probs.shape[-1] - 1))
+    return vals, (ids + 1).astype(jnp.int32)
 
 
 class _Beam:

@@ -85,6 +85,11 @@ def beam_scan(
     lm_alpha: float = 0.0,
     lm_beta: float = 0.0,
     lex_next: Optional[jax.Array] = None,  # [N, K] int32 trie transitions
+    word_table: Optional[jax.Array] = None,  # [Vw+1, Vw] word-bigram logp
+    word_ids: Optional[jax.Array] = None,  # [N] int32 word id at finals
+    space_id: int = -1,
+    word_alpha: float = 0.0,
+    word_beta: float = 0.0,
 ):
     """Traceable device beam search (compose under jit with the forward
     pass). Returns (totals [B, W] f32 final log P per beam slot,
@@ -107,13 +112,30 @@ def beam_scan(
     table host-side, so the kernel stays branch-free). Returns
     (totals, extras, parents, tokens) whenever LM or lexicon is active,
     where extras is a dict with optional "bonus" [B, W] and "lex" [B, W]
-    final trie nodes."""
+    final trie nodes.
+
+    ``word_table``/``word_ids`` (dense_word_logp_table +
+    Lexicon.word_id_table; requires ``lex_next`` and ``space_id``) fuse a
+    WORD-level bigram on device: a space emitted at a word-final node
+    completes word ``word_ids[node]``, adds ``word_alpha * log P(word |
+    prev) + word_beta`` to the slot bonus, and shifts the carried
+    prev-word id — the Kaldi-era L∘G composition inside one scan. The
+    trailing (un-spaced) final word is NOT scored here; the caller adds
+    it at selection (beam_scan_collapsed does). extras gains "wprev"."""
     B, T, K = log_probs.shape
     W = beam_width
     k = min(topk, K - 1)
     neg = jnp.float32(-jnp.inf)
     use_lm = lm_table is not None
     use_lex = lex_next is not None
+    use_wlm = word_table is not None
+    if use_wlm:
+        if not use_lex or word_ids is None or space_id < 0:
+            raise ValueError(
+                "device word fusion needs lex_next + word_ids + space_id"
+            )
+        Vw = word_table.shape[1]
+        wt_flat = word_table.reshape(-1)
     if use_lex:
         lex_flat = lex_next.reshape(-1)
         NLEX_K = lex_next.shape[1]
@@ -152,9 +174,11 @@ def beam_scan(
     lml_0 = jnp.full((B, W), K, jnp.int32)
     bonus_0 = jnp.zeros((B, W), jnp.float32)
     lex_0 = jnp.zeros((B, W), jnp.int32)  # trie root
+    wprev_0 = jnp.full((B, W), word_table.shape[1] if use_wlm else 0,
+                       jnp.int32)  # <s>
 
     def body(carry, inp):
-        h1, h2, last, p_b, p_nb, lmp, lml, bonus, lex = carry
+        h1, h2, last, p_b, p_nb, lmp, lml, bonus, lex, wprev = carry
         v, i, pb, m = inp  # [B,k] [B,k] [B] [B]
         p_tot = jnp.logaddexp(p_b, p_nb)  # [B, W]
         frame_best = jnp.maximum(v[:, 0], pb)  # [B]
@@ -192,6 +216,28 @@ def beam_scan(
             )  # [B, W, k]
             ext_pnb = jnp.where(nxt >= 0, ext_pnb, neg)
             nxt = jnp.maximum(nxt, 0)  # node value moot once mass = -inf
+        if use_wlm:
+            # a space from a word-final node completes word_ids[node]
+            wid = jnp.take(word_ids, lex)  # [B, W]
+            completes = (c == space_id) & (wid[:, :, None] >= 0)
+            wlp = jnp.take(
+                wt_flat, wprev * Vw + jnp.maximum(wid, 0)
+            )  # [B, W]
+            w_add = jnp.where(
+                completes,
+                jnp.float32(word_alpha) * wlp[:, :, None]
+                + jnp.float32(word_beta),
+                0.0,
+            )
+            if use_lm:
+                ext_bonus = ext_bonus + w_add
+            else:
+                ext_bonus = (jnp.zeros((B, W, 1)) + bonus[:, :, None]
+                             + w_add)
+            ext_wprev = jnp.where(
+                completes, jnp.maximum(wid, 0)[:, :, None],
+                wprev[:, :, None],
+            )  # [B, W, k]
 
         # merge: an extend candidate ext(p, c) coincides with a beam slot
         # already holding p+c (and with nothing else — see module doc).
@@ -215,9 +261,11 @@ def beam_scan(
         pool_pb = jnp.concatenate([stay_pb, jnp.full((B, W * k), neg)], axis=1)
         pool_pnb = jnp.concatenate([stay_pnb, epnb], axis=1)
         total = jnp.logaddexp(pool_pb, pool_pnb)
-        if use_lm:
+        if use_lm or use_wlm:
             # rank/prune by the FUSED score; CTC masses stay pure
-            pool_bonus = jnp.concatenate([bonus, flat(ext_bonus)], axis=1)
+            pool_bonus = jnp.concatenate(
+                [bonus, flat(jnp.broadcast_to(ext_bonus, (B, W, k)))],
+                axis=1)
             total = total + pool_bonus
 
         _, sel = jax.lax.top_k(total, W)  # [B, W] pool positions
@@ -252,6 +300,18 @@ def beam_scan(
             n_lex = take(pool_lex)
         else:
             n_lex = lex
+        if use_wlm:
+            pool_wprev = jnp.concatenate(
+                [wprev, flat(jnp.broadcast_to(ext_wprev, (B, W, k)))],
+                axis=1)
+            n_wprev = take(pool_wprev)
+            if not use_lm:
+                pool_bon = jnp.concatenate(
+                    [bonus, flat(jnp.broadcast_to(ext_bonus, (B, W, k)))],
+                    axis=1)
+                n_bon = take(pool_bon)
+        else:
+            n_wprev = wprev
 
         # invalid frames are identity: state passes through, nothing emits
         mw = m[:, None]
@@ -264,22 +324,27 @@ def beam_scan(
         lml = jnp.where(mw, n_lml, lml)
         bonus = jnp.where(mw, n_bon, bonus)
         lex = jnp.where(mw, n_lex, lex)
+        wprev = jnp.where(mw, n_wprev, wprev)
         parent = jnp.where(mw, n_parent, jnp.broadcast_to(iota_w[None], (B, W)))
         token = jnp.where(mw, n_token, 0)
-        return (h1, h2, last, p_b, p_nb, lmp, lml, bonus, lex), (parent, token)
+        return (h1, h2, last, p_b, p_nb, lmp, lml, bonus, lex,
+                wprev), (parent, token)
 
     carry, (parents, tokens) = jax.lax.scan(
-        body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp_0, lml_0, bonus_0, lex_0),
+        body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp_0, lml_0, bonus_0,
+               lex_0, wprev_0),
         (vals_t, ids_t, pblank_t, mask_t),
     )
-    _, _, _, p_b, p_nb, _, _, bonus, lex = carry
+    _, _, _, p_b, p_nb, _, _, bonus, lex, wprev = carry
     totals = jnp.logaddexp(p_b, p_nb)
-    if use_lm or use_lex:
+    if use_lm or use_lex or use_wlm:
         extras = {}
-        if use_lm:
+        if use_lm or use_wlm:
             extras["bonus"] = bonus
         if use_lex:
             extras["lex"] = lex
+        if use_wlm:
+            extras["wprev"] = wprev
         return totals, extras, parents, tokens
     return totals, parents, tokens
 
@@ -289,11 +354,16 @@ def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float,
                    all_beams: bool, fused_lm: bool, lm_alpha: float,
                    lm_beta: float):
     if fused_lm:
-        # takes lm_table and/or lex_next+lex_boundary as call-time kwargs
-        return jax.jit(functools.partial(
-            beam_scan_collapsed, beam_width=beam_width, topk=topk,
-            prune_logp=prune_logp, lm_alpha=lm_alpha, lm_beta=lm_beta,
-        ))
+        # takes lm_table and/or lex_next+lex_boundary (+ word tables) as
+        # call-time kwargs; space_id gates Python-level branches in the
+        # trace and must stay static
+        return jax.jit(
+            functools.partial(
+                beam_scan_collapsed, beam_width=beam_width, topk=topk,
+                prune_logp=prune_logp, lm_alpha=lm_alpha, lm_beta=lm_beta,
+            ),
+            static_argnames=("space_id", "word_alpha", "word_beta"),
+        )
     return jax.jit(functools.partial(
         beam_scan_collapsed, beam_width=beam_width, topk=topk,
         prune_logp=prune_logp, all_beams=all_beams,
@@ -362,6 +432,11 @@ def beam_scan_collapsed(
     lm_beta: float = 0.0,
     lex_next: Optional[jax.Array] = None,
     lex_boundary: Optional[jax.Array] = None,  # [N] bool, with lex_next
+    word_table: Optional[jax.Array] = None,
+    word_ids: Optional[jax.Array] = None,
+    space_id: int = -1,
+    word_alpha: float = 0.0,
+    word_beta: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """beam_scan + on-device backtrace. Returns (totals [B, W], emitted):
     emitted is [B, T] int32 for the BEST beam per line (token or 0 per
@@ -377,7 +452,11 @@ def beam_scan_collapsed(
     fusion adds no extra device->host array. ``lex_next``/``lex_boundary``
     (Lexicon.dense_tables) additionally constrain the search on device;
     selection prefers beams ending at a word boundary (falling back to
-    all beams when none does, matching the host oracle)."""
+    all beams when none does, matching the host oracle). One known
+    divergence: in that no-boundary fallback the host oracle still
+    word-scores the partial trailing word while the device skips it
+    (word_ids is -1 mid-word) — reachable only when NO beam ends at a
+    word boundary, i.e. pathological inputs."""
     if lm_table is not None or lex_next is not None:
         if all_beams:
             raise ValueError("all_beams is for two-pass rescoring; "
@@ -385,10 +464,27 @@ def beam_scan_collapsed(
         totals, extras, parents, tokens = beam_scan(
             log_probs, frame_mask, beam_width=beam_width, topk=topk,
             prune_logp=prune_logp, lm_table=lm_table, lm_alpha=lm_alpha,
-            lm_beta=lm_beta, lex_next=lex_next,
+            lm_beta=lm_beta, lex_next=lex_next, word_table=word_table,
+            word_ids=word_ids, space_id=space_id, word_alpha=word_alpha,
+            word_beta=word_beta,
         )
         emitted = device_backtrace(parents, tokens)  # [T, B, W]
         fused = totals + extras.get("bonus", 0.0)
+        if word_table is not None:
+            # the trailing (un-spaced) word: score it at selection, as
+            # the host oracle's final_score does — only word-final nodes
+            # carry one (root = line ended on a space, nothing trailing)
+            wid = jnp.take(word_ids, extras["lex"])  # [B, W]
+            Vw = word_table.shape[1]
+            wlp = jnp.take(
+                word_table.reshape(-1),
+                extras["wprev"] * Vw + jnp.maximum(wid, 0),
+            )
+            fused = fused + jnp.where(
+                wid >= 0,
+                jnp.float32(word_alpha) * wlp + jnp.float32(word_beta),
+                0.0,
+            )
         if lex_next is not None:
             ok = jnp.take(lex_boundary, extras["lex"])  # [B, W]
             gated = jnp.where(ok, fused, -jnp.inf)

@@ -30,12 +30,15 @@ class Lexicon:
     ``advance`` returns -1 when the extension leaves the lexicon."""
 
     def __init__(self, alphabet: Alphabet, words_uxxxx: Iterable[str]):
+        from ..text import uxxxx_to_utf8
+
         self.alphabet = alphabet
         space = alphabet.index_of("u0020") if "u0020" in alphabet else -1
         self.space_id = space
         self._children: List[Dict[int, int]] = [{}]
         self._word_final: List[bool] = [False]
-        n_words = 0
+        self._node_word: List[int] = [-1]  # word id at final nodes
+        self.words: List[str] = []  # utf8, id-aligned (word-LM vocab)
         for w in words_uxxxx:
             toks = [t for t in w.split() if t]
             if not toks:
@@ -56,11 +59,14 @@ class Lexicon:
                 if node == len(self._children):  # new node allocated
                     self._children.append({})
                     self._word_final.append(False)
-            self._word_final[node] = True
-            n_words += 1
-        if n_words == 0:
+                    self._node_word.append(-1)
+            if not self._word_final[node]:  # first occurrence wins
+                self._word_final[node] = True
+                self._node_word[node] = len(self.words)
+                self.words.append(uxxxx_to_utf8(w))
+        if not self.words:
             raise ValueError("lexicon is empty after alphabet filtering")
-        self.num_words = n_words
+        self.num_words = len(self.words)
 
     @classmethod
     def from_words(cls, alphabet: Alphabet, words: Iterable[str]) -> "Lexicon":
@@ -138,3 +144,11 @@ class Lexicon:
             if self.space_id >= 0 and boundary[node]:
                 next_tbl[node, self.space_id] = 0
         return next_tbl, boundary
+
+    def word_id_table(self):
+        """[N] int32: the word id completed at each word-final node
+        (-1 elsewhere) — pairs with ``dense_tables`` for on-device
+        word-LM fusion (word ids index ``self.words``)."""
+        import numpy as np
+
+        return np.asarray(self._node_word, np.int32)

@@ -183,6 +183,29 @@ def dense_logp_table(lm: "ArpaLM", alphabet, order: Optional[int] = None):
     return t
 
 
+def dense_word_logp_table(word_lm: "ArpaLM", words):
+    """Densify a word-level ARPA LM (order <= 2, utf8 word tokens) for
+    on-device fusion: ``t[h, w] = log P(words[w] | context h)`` with
+    context axis size ``len(words) + 1`` — index ``len(words)`` is
+    ``<s>``, word ids at their own index. Built by ``lm.logp`` itself
+    (full backoff), so it is exact for bigram LMs; higher orders cannot
+    be represented by (prev word) alone and are rejected."""
+    import numpy as np
+
+    if word_lm.order > 2:
+        raise ValueError(
+            f"on-device word fusion supports order <= 2 (got "
+            f"{word_lm.order}); use the host expansion for higher orders"
+        )
+    V = len(words)
+    t = np.zeros((V + 1, V), np.float32)
+    for h in range(V + 1):
+        hist = (BOS,) if h == V else (words[h],)
+        for w in range(V):
+            t[h, w] = word_lm.logp(hist, words[w])
+    return t
+
+
 def train_char_lm(
     transcripts: Iterable[str],
     order: int = 3,

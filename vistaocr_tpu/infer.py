@@ -217,14 +217,18 @@ def run_inference(
         lexicon = Lexicon.read_words(alphabet, lexicon_path)
     word_lm = None
     if word_lm_path:
-        if decoder != "beam" or beam_impl != "host":
-            raise ValueError(
-                "--word-lm needs --decoder beam --beam-impl host (word "
-                "fusion runs in the host expansion)"
-            )
+        if decoder != "beam":
+            raise ValueError("--word-lm needs --decoder beam")
         from .decode.lm import ArpaLM
 
         word_lm = ArpaLM.read_arpa(word_lm_path)
+        if beam_impl == "device" and (
+            lexicon is None or word_lm.order > 2
+        ):
+            raise ValueError(
+                "device word fusion needs --lexicon and a bigram word "
+                "LM; use --beam-impl host otherwise"
+            )
     if lexicon is not None and lm_path:
         # lexicon decoding runs the Python expansion; it needs the
         # Python LM object, not the native C++ handle
@@ -303,6 +307,18 @@ def run_inference(
                 lex_next=jax.device_put(next_tbl),
                 lex_boundary=jax.device_put(boundary),
             )
+            if word_lm is not None and beam_config.word_lm_alpha != 0:
+                from .decode.lm import dense_word_logp_table
+
+                lex_kw.update(
+                    word_table=jax.device_put(np.asarray(
+                        dense_word_logp_table(word_lm, lexicon.words))),
+                    word_ids=jax.device_put(lexicon.word_id_table()),
+                    space_id=lexicon.space_id,
+                    word_alpha=float(beam_config.word_lm_alpha),
+                    word_beta=float(beam_config.word_lm_beta),
+                )
+                lm_fusion = (lm_fusion or "") + "+device-word"
         if lm_table is not None or lex_kw:
             from .decode.greedy import SCORE_SCALE as _SC
             from .decode.greedy import collapse_frames as _collapse

@@ -96,6 +96,11 @@ class ServiceConfig:
     # device beam the trie runs INSIDE the search (Lexicon.dense_tables);
     # with beam_impl="host" the Python expansion applies it.
     lexicon_path: Optional[str] = None
+    # Word-level ARPA LM fused at word boundaries (weights in
+    # beam.word_lm_alpha/word_lm_beta). Device impl needs lexicon_path
+    # and a bigram (the dense [Vw+1, Vw] table); host impl takes any
+    # order. The full Kaldi-era L∘G stack.
+    word_lm_path: Optional[str] = None
     # On-device height normalization (ops/resize.py): requests at
     # non-contract heights are resized INSIDE the per-bucket graph; the
     # host does only grayscale/polarity (and integer pre-pooling for
@@ -242,6 +247,27 @@ class OcrService:
                 self._lex_kw = dict(
                     lex_next=jax.device_put(next_tbl),
                     lex_boundary=jax.device_put(boundary),
+                )
+        self._word_lm = None
+        if config.word_lm_path and config.decoder == "beam":
+            from ..decode.lm import ArpaLM, dense_word_logp_table
+
+            self._word_lm = ArpaLM.read_arpa(config.word_lm_path)
+            if config.beam_impl == "device":
+                if self._lexicon is None or self._word_lm.order > 2:
+                    raise ValueError(
+                        "device word fusion needs lexicon_path and a "
+                        "bigram word LM; use beam_impl='host' otherwise"
+                    )
+                self._lex_kw.update(
+                    word_table=jax.device_put(np.asarray(
+                        dense_word_logp_table(
+                            self._word_lm, self._lexicon.words))),
+                    word_ids=jax.device_put(
+                        self._lexicon.word_id_table()),
+                    space_id=self._lexicon.space_id,
+                    word_alpha=float(config.beam.word_lm_alpha),
+                    word_beta=float(config.beam.word_lm_beta),
                 )
         # densify an order-<=3 LM for interleaved on-device fusion
         self._lm_table = None
@@ -562,6 +588,7 @@ class OcrService:
         return beam_decode(
             log_probs, frame_mask, self.alphabet, self.config.beam,
             lm=self._lm, valid=valid, lexicon=self._lexicon,
+            word_lm=self._word_lm,
         )
 
     def _warmup(self):
