@@ -198,6 +198,12 @@ def dense_word_logp_table(word_lm: "ArpaLM", words):
             f"{word_lm.order}); use the host expansion for higher orders"
         )
     V = len(words)
+    if V > 8192:
+        raise ValueError(
+            f"dense word table would be {V}x{V} f32 "
+            f"(~{4 * V * V / 2**20:.0f} MiB) — beyond the practical HBM "
+            "budget; use the host expansion for vocabularies this large"
+        )
     t = np.zeros((V + 1, V), np.float32)
     for h in range(V + 1):
         hist = (BOS,) if h == V else (words[h],)
