@@ -102,19 +102,29 @@ class TestLexicon:
                           BeamConfig(beam_width=4, topk=3), lexicon=lex)
         assert out == [utf8_to_uxxxx("cat")]
 
-    def test_native_lm_handle_rejected(self, alphabet):
+    def test_native_char_lm_composes_with_lexicon(self, alphabet, tmp_path):
+        """Round-3 late: the C++ engine handles lexicon + NativeLM char
+        fusion directly (it used to require the Python expansion)."""
         from vistaocr_tpu.decode import native_binding as nb
+        from vistaocr_tpu.decode.lm import train_char_lm
 
         if not nb.available():
             pytest.skip("native engine not built")
-        lex = Lexicon.from_words(alphabet, ["cat"])
+        lex = Lexicon.from_words(alphabet, ["cat", "cab"])
+        arpa = str(tmp_path / "c.arpa")
+        train_char_lm(
+            [utf8_to_uxxxx(t) for t in ["cat", "cab", "cat"]], order=2
+        ).write_arpa(arpa)
+        lm = nb.NativeLM(arpa, alphabet.tokens)
+        ids = [alphabet.index_of(utf8_to_uxxxx(ch)) for ch in "cat"]
+        path = []
+        for i in ids:
+            path += [i, 0]
+        lp = _peaked(alphabet, path)[None]
+        mask = np.ones((1, lp.shape[1]), bool)
+        import jax.numpy as jnp
 
-        class FakeNative:  # looks like a NativeLM (no .score)
-            pass
-
-        lp = np.zeros((1, 4, alphabet.num_classes), np.float32)
-        mask = np.ones((1, 4), bool)
-        cfg = BeamConfig(lm_alpha=0.5)
-        fake = nb.NativeLM.__new__(nb.NativeLM)
-        with pytest.raises(TypeError):
-            beam_decode(lp, mask, alphabet, cfg, lm=fake, lexicon=lex)
+        out = beam_decode(jnp.asarray(lp), jnp.asarray(mask), alphabet,
+                          BeamConfig(beam_width=4, topk=3, lm_alpha=0.4),
+                          lm=lm, lexicon=lex)
+        assert out == [utf8_to_uxxxx("cat")]

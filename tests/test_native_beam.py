@@ -143,3 +143,70 @@ class TestNativeAssemble:
         out = np.zeros((1, H, Wb), np.uint8)
         nb.assemble_native([src], out)
         np.testing.assert_array_equal(out[0], src[:, :Wb])
+
+
+class TestNativeConstrained:
+    """C++ lexicon/word-LM via dense tables vs the Python oracle —
+    string-exact parity (the same discipline as the unconstrained twin
+    and the device engine)."""
+
+    def _case(self, seed, K=7, B=5, T=16):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        logits = rng.normal(0, 3.0, (B, T, K)).astype(np.float32)
+        logits[..., 0] += 2.0
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        frames = rng.integers(4, T + 1, B).astype(np.int32)
+        return lp.astype(np.float32), frames
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("with_wlm", [False, True])
+    def test_matches_python_oracle(self, seed, with_wlm):
+        import numpy as np
+
+        from vistaocr_tpu.decode import native_binding as nb
+        from vistaocr_tpu.decode.beam import BeamConfig, prefix_beam_search
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import train_char_lm
+        from vistaocr_tpu.text import Alphabet, utf8_to_uxxxx
+
+        if not nb.available():
+            pytest.skip(f"native lib unavailable: {nb.build_error()}")
+        al = Alphabet.build([utf8_to_uxxxx("abcde ")])
+        lp, frames = self._case(seed, K=al.num_classes)
+        rng = np.random.default_rng(seed + 7)
+        words = sorted({
+            "".join(rng.choice(list("abcde"), rng.integers(1, 4)))
+            for _ in range(10)
+        })
+        lex = Lexicon.from_words(al, words)
+        word_lm = None
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0)
+        if with_wlm:
+            word_lm = train_char_lm(
+                [" ".join(rng.choice(words, rng.integers(1, 4)))
+                 for _ in range(80)], order=2)
+            cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                             word_lm_alpha=0.7, word_lm_beta=0.2)
+        k = min(cfg.topk, al.num_classes - 1)
+        ids = (np.argsort(-lp[:, :, 1:], axis=2)[:, :, :k] + 1).astype(
+            np.int32)
+        vals = np.take_along_axis(lp, ids, axis=2)
+        all_ids, scores = nb.beam_decode_batch_native(
+            lp, frames, ids, vals,
+            beam_width=cfg.beam_width, prune_logp=cfg.prune_logp,
+            max_out=lp.shape[1], lexicon=lex, word_lm=word_lm,
+            word_lm_alpha=cfg.word_lm_alpha,
+            word_lm_beta=cfg.word_lm_beta,
+        )
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg,
+                topk_vals=vals[b, : frames[b]],
+                topk_ids=ids[b, : frames[b]],
+                lexicon=lex, word_lm=word_lm,
+            )
+            got = al.decode(all_ids[b])
+            assert got == hyps[0][0], (b, got, hyps[:3])
+            assert scores[b] == pytest.approx(hyps[0][1], abs=1e-6)

@@ -289,13 +289,21 @@ def beam_decode(
 
     from . import native_binding as nb
 
-    if lexicon is not None and lm is not None and not hasattr(lm, "score"):
+    # The C++ engine now shares the dense-table lexicon/word-LM
+    # semantics; it handles every combination except a PYTHON char LM
+    # (use NativeLM) or a word LM beyond bigram (dense table bound).
+    use_native = (
+        nb.available()
+        and (lm is None or isinstance(lm, nb.NativeLM))
+        and (word_lm is None or getattr(word_lm, "order", 99) <= 2)
+    )
+    if lexicon is not None and not use_native and lm is not None \
+            and not hasattr(lm, "score"):
         raise TypeError(
-            "lexicon decoding runs the Python expansion; pass an ArpaLM "
-            "(decode.lm.ArpaLM.read_arpa), not the native C++ LM handle"
+            "constrained decoding without the native lib runs the Python "
+            "expansion; pass an ArpaLM (decode.lm.ArpaLM.read_arpa), not "
+            "the native C++ LM handle"
         )
-    use_native = (nb.available() and lexicon is None and word_lm is None
-                  and (lm is None or isinstance(lm, nb.NativeLM)))
     if use_native:
         all_ids, _ = nb.beam_decode_batch_native(
             lp, frames, ids, vals,
@@ -305,6 +313,10 @@ def beam_decode(
             beam_width=config.beam_width,
             prune_logp=config.prune_logp,
             max_out=lp.shape[1],
+            lexicon=lexicon,
+            word_lm=word_lm,
+            word_lm_alpha=config.word_lm_alpha,
+            word_lm_beta=config.word_lm_beta,
         )
         return [
             alphabet.decode(all_ids[b])

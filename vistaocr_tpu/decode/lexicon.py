@@ -123,9 +123,12 @@ class Lexicon:
         0 at word boundaries, -1 mid-word), and ``boundary`` marks nodes
         where a hypothesis may end. The device search then needs one
         gather per candidate and zero branching — the lexicon-FST on
-        the MXU's terms."""
+        the MXU's terms. Cached: the trie is immutable after
+        construction and batch loops call this per batch."""
         import numpy as np
 
+        if getattr(self, "_dense_cache", None) is not None:
+            return self._dense_cache
         N = len(self._children)
         K = self.alphabet.num_classes
         if N * K >= 2**31:
@@ -143,7 +146,8 @@ class Lexicon:
             boundary[node] = self.at_boundary(node)
             if self.space_id >= 0 and boundary[node]:
                 next_tbl[node, self.space_id] = 0
-        return next_tbl, boundary
+        self._dense_cache = (next_tbl, boundary)
+        return self._dense_cache
 
     def word_id_table(self):
         """[N] int32: the word id completed at each word-final node

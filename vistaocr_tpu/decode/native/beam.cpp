@@ -177,7 +177,26 @@ struct BeamE {
   double p_b = kNegInf;
   double p_nb = kNegInf;
   double lm_logp = 0.0;
+  int lex = 0;       // lexicon trie node (dense-table constraint)
+  int wprev = 0;     // last completed word id (n_words = <s>)
+  double wbonus = 0.0;  // cumulative word-LM bonus (alpha*logp + beta)
   double total() const { return logaddexp(p_b, p_nb); }
+};
+
+// Optional lexicon / word-LM context for beam_search_one — the same
+// dense tables the device search consumes (Lexicon.dense_tables,
+// dense_word_logp_table), so all three engines share one semantics.
+struct LexCtx {
+  const int* lex_next = nullptr;       // [N, K], -1 = disallowed
+  const uint8_t* lex_boundary = nullptr;  // [N]
+  int K = 0;
+  const float* word_table = nullptr;   // [Vw+1, Vw]
+  const int* word_ids = nullptr;       // [N], -1 off word-final nodes
+  int n_words = 0;
+  int space_id = -1;
+  double word_alpha = 0.0, word_beta = 0.0;
+  bool lex() const { return lex_next != nullptr; }
+  bool wlm() const { return word_table != nullptr; }
 };
 
 struct Hypo {
@@ -190,7 +209,7 @@ void beam_search_one(
     const int* topk_ids, const float* topk_vals, int topk,
     const ArpaLM* lm, double lm_alpha, double lm_beta,
     int beam_width, double prune_logp,
-    std::vector<Hypo>& out) {
+    std::vector<Hypo>& out, const LexCtx& lx = LexCtx()) {
   const bool use_lm = lm != nullptr && lm_alpha != 0.0;
 
   // Child keys pack (node id << 21 | token): tokens get 21 bits (checked
@@ -233,7 +252,11 @@ void beam_search_one(
     return n;
   };
 
-  std::vector<BeamE> beams{{0, 0.0, kNegInf, 0.0}};
+  BeamE root;
+  root.node = 0;
+  root.p_b = 0.0;
+  root.wprev = lx.n_words;  // <s> row of the word table
+  std::vector<BeamE> beams{root};
   std::vector<BeamE> next;
   std::unordered_map<int, int> slot;  // node id -> index into next
   next.reserve(static_cast<size_t>(beam_width) * (topk + 1));
@@ -242,13 +265,16 @@ void beam_search_one(
   // slot_of: the per-frame accumulator for a prefix. lm_logp is a pure
   // function of the prefix, so whichever source beam materializes the
   // slot first seeds the same value the oracle would.
-  auto slot_of = [&](int node, double lm_logp_of_node) -> BeamE& {
-    auto it = slot.find(node);
+  auto slot_of = [&](const BeamE& src) -> BeamE& {
+    auto it = slot.find(src.node);
     if (it == slot.end()) {
-      it = slot.emplace(node, static_cast<int>(next.size())).first;
+      it = slot.emplace(src.node, static_cast<int>(next.size())).first;
       BeamE e;
-      e.node = node;
-      e.lm_logp = lm_logp_of_node;
+      e.node = src.node;
+      e.lm_logp = src.lm_logp;  // prefix-determined, like lex/word state
+      e.lex = src.lex;
+      e.wprev = src.wprev;
+      e.wbonus = src.wbonus;
       next.push_back(e);
     }
     return next[it->second];
@@ -271,7 +297,7 @@ void beam_search_one(
 
       // blank -> same prefix (never pruned)
       {
-        BeamE& nb = slot_of(beam.node, beam.lm_logp);
+        BeamE& nb = slot_of(beam);
         nb.p_b = logaddexp(nb.p_b, p_total + p_blank);
       }
 
@@ -282,14 +308,20 @@ void beam_search_one(
         int last = beam.node == 0 ? -1 : nodes[beam.node].tok;
         double src_p;
         if (c == last) {
-          // repeat without blank: same prefix via p_nb
-          BeamE& nb = slot_of(beam.node, beam.lm_logp);
+          // repeat without blank: same prefix via p_nb — never
+          // lexicon-gated (the prefix does not grow)
+          BeamE& nb = slot_of(beam);
           nb.p_nb = logaddexp(nb.p_nb, beam.p_nb + p_c);
           src_p = beam.p_b;  // blank-separated repeat extends
         } else {
           src_p = p_total;
         }
         if (src_p == kNegInf) continue;
+        int lex_child = 0;
+        if (lx.lex()) {
+          lex_child = lx.lex_next[static_cast<size_t>(beam.lex) * lx.K + c];
+          if (lex_child < 0) continue;  // extension leaves the lexicon
+        }
         int child = child_of(beam.node, c);
         auto it = slot.find(child);
         if (it == slot.end()) {
@@ -302,6 +334,19 @@ void beam_search_one(
           BeamE e;
           e.node = child;
           e.lm_logp = lm_lp;
+          e.lex = lex_child;
+          e.wprev = beam.wprev;
+          e.wbonus = beam.wbonus;
+          if (lx.wlm() && c == lx.space_id) {
+            int wid = lx.word_ids[beam.lex];
+            if (wid >= 0) {  // a space at a word-final node completes it
+              e.wbonus += lx.word_alpha *
+                  lx.word_table[static_cast<size_t>(beam.wprev) *
+                                lx.n_words + wid] +
+                  lx.word_beta;
+              e.wprev = wid;
+            }
+          }
           next.push_back(e);
         }
         BeamE& nb2 = next[it->second];
@@ -313,7 +358,7 @@ void beam_search_one(
     order_idx.resize(next.size());
     for (size_t i = 0; i < next.size(); i++) order_idx[i] = static_cast<int>(i);
     auto fused = [&](const BeamE& e) {
-      double s = e.total();
+      double s = e.total() + e.wbonus;
       if (use_lm)
         s += lm_alpha * e.lm_logp +
              lm_beta * static_cast<double>(nodes[e.node].depth);
@@ -328,12 +373,32 @@ void beam_search_one(
     for (int i = 0; i < keep; i++) beams.push_back(next[order_idx[i]]);
   }
 
+  // lexicon finals: prefer beams ending at a word boundary (complete
+  // words), falling back to everything when none does
+  std::vector<const BeamE*> finals;
+  if (lx.lex()) {
+    for (const BeamE& e : beams)
+      if (lx.lex_boundary[e.lex]) finals.push_back(&e);
+  }
+  if (finals.empty())
+    for (const BeamE& e : beams) finals.push_back(&e);
+
   out.clear();
-  for (const BeamE& e : beams) {
-    double s = e.total();
+  for (const BeamE* ep : finals) {
+    const BeamE& e = *ep;
+    double s = e.total() + e.wbonus;
     if (use_lm)
       s += lm_alpha * e.lm_logp +
            lm_beta * static_cast<double>(nodes[e.node].depth);
+    if (lx.wlm()) {
+      // trailing (un-spaced) word scores at finalization
+      int wid = lx.lex() ? lx.word_ids[e.lex] : -1;
+      if (wid >= 0)
+        s += lx.word_alpha *
+                 lx.word_table[static_cast<size_t>(e.wprev) * lx.n_words +
+                               wid] +
+             lx.word_beta;
+    }
     std::vector<int> prefix(nodes[e.node].depth);
     for (int cur = e.node, i = nodes[e.node].depth - 1; cur != 0;
          cur = nodes[cur].parent, i--)
@@ -372,6 +437,16 @@ double vo_lm_logp(void* lm, const int* hist, int n, int token) {
   return m->logp(hist, n, token);
 }
 
+int vo_beam_decode_batch_lex(
+    const float* logprobs, const int* frames, int B, int Tmax, int K,
+    const int* topk_ids, const float* topk_vals, int topk,
+    void* lm, double lm_alpha, double lm_beta,
+    int beam_width, double prune_logp,
+    const int* lex_next, const uint8_t* lex_boundary,
+    const float* word_table, const int* word_ids, int n_words,
+    int space_id, double word_alpha, double word_beta,
+    int* out_ids, int max_out, int* out_lens, double* out_scores);
+
 // Decode a batch. logprobs: [B, Tmax, K]; frames: [B] valid frame counts;
 // topk_ids/vals: [B, Tmax, topk]; out_ids: [B, max_out]; out_lens: [B];
 // out_scores: [B]. Returns 0 on success.
@@ -381,6 +456,36 @@ int vo_beam_decode_batch(
     void* lm, double lm_alpha, double lm_beta,
     int beam_width, double prune_logp,
     int* out_ids, int max_out, int* out_lens, double* out_scores) {
+  return vo_beam_decode_batch_lex(
+      logprobs, frames, B, Tmax, K, topk_ids, topk_vals, topk, lm,
+      lm_alpha, lm_beta, beam_width, prune_logp,
+      nullptr, nullptr, nullptr, nullptr, 0, -1, 0.0, 0.0,
+      out_ids, max_out, out_lens, out_scores);
+}
+
+// Constrained variant: lex_next [N, K] / lex_boundary [N] (nullptr = no
+// lexicon); word_table [n_words+1, n_words] + word_ids [N] (nullptr =
+// no word LM; needs the lexicon). Same dense tables the device uses.
+int vo_beam_decode_batch_lex(
+    const float* logprobs, const int* frames, int B, int Tmax, int K,
+    const int* topk_ids, const float* topk_vals, int topk,
+    void* lm, double lm_alpha, double lm_beta,
+    int beam_width, double prune_logp,
+    const int* lex_next, const uint8_t* lex_boundary,
+    const float* word_table, const int* word_ids, int n_words,
+    int space_id, double word_alpha, double word_beta,
+    int* out_ids, int max_out, int* out_lens, double* out_scores) {
+  LexCtx lx;
+  lx.lex_next = lex_next;
+  lx.lex_boundary = lex_boundary;
+  lx.K = K;
+  lx.word_table = word_table;
+  lx.word_ids = word_ids;
+  lx.n_words = n_words;
+  lx.space_id = space_id;
+  lx.word_alpha = word_alpha;
+  lx.word_beta = word_beta;
+  if (lx.wlm() && !lx.lex()) return 2;  // word LM needs the lexicon
   std::vector<Hypo> hyps;
   for (int b = 0; b < B; b++) {
     int T = frames[b];
@@ -390,7 +495,7 @@ int vo_beam_decode_batch(
         topk_ids + static_cast<size_t>(b) * Tmax * topk,
         topk_vals + static_cast<size_t>(b) * Tmax * topk, topk,
         static_cast<ArpaLM*>(lm), lm_alpha, lm_beta, beam_width, prune_logp,
-        hyps);
+        hyps, lx);
     int n = 0;
     double score = kNegInf;
     if (!hyps.empty()) {

@@ -76,6 +76,20 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
         ]
+        lib.vo_beam_decode_batch_lex.restype = ctypes.c_int
+        lib.vo_beam_decode_batch_lex.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+        ]
         lib.vo_assemble.argtypes = [
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -143,8 +157,14 @@ def beam_decode_batch_native(
     beam_width: int = 16,
     prune_logp: float = -12.0,
     max_out: int = 512,
+    lexicon=None,  # decode.lexicon.Lexicon
+    word_lm=None,  # python ArpaLM (order <= 2), densified here
+    word_lm_alpha: float = 0.0,
+    word_lm_beta: float = 0.0,
 ) -> Tuple[List[List[int]], np.ndarray]:
-    """-> (list of best-prefix id lists, scores [B])."""
+    """-> (list of best-prefix id lists, scores [B]). With ``lexicon``
+    (and optionally a bigram ``word_lm``) the C++ engine applies the
+    same dense-table constraint/fusion as the device search."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native lib unavailable: {_build_error}")
@@ -157,7 +177,7 @@ def beam_decode_batch_native(
     out_ids = np.zeros((B, max_out), np.int32)
     out_lens = np.zeros((B,), np.int32)
     out_scores = np.zeros((B,), np.float64)
-    rc = lib.vo_beam_decode_batch(
+    common = (
         lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         fr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         B, Tmax, K,
@@ -166,11 +186,49 @@ def beam_decode_batch_native(
         k,
         ctypes.c_void_p(lm._ptr if lm else None),
         lm_alpha, lm_beta, beam_width, prune_logp,
+    )
+    outs = (
         out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         max_out,
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
+    if lexicon is None:
+        rc = lib.vo_beam_decode_batch(*common, *outs)
+    else:
+        next_tbl, boundary = lexicon.dense_tables()
+        next_tbl = np.ascontiguousarray(next_tbl, np.int32)
+        boundary = np.ascontiguousarray(boundary, np.uint8)
+        wt = wi = None
+        n_words = 0
+        space_id = -1
+        if word_lm is not None and word_lm_alpha != 0.0:
+            from .lm import dense_word_logp_table
+
+            # cache the dense word table on the LM object — batch loops
+            # call per batch, and the build is Vw^2 backoff queries
+            cache = getattr(word_lm, "_dense_word_cache", None)
+            if cache is None or cache[0] is not lexicon:
+                wt = np.ascontiguousarray(
+                    dense_word_logp_table(word_lm, lexicon.words),
+                    np.float32)
+                word_lm._dense_word_cache = (lexicon, wt)
+            else:
+                wt = cache[1]
+            wi = np.ascontiguousarray(lexicon.word_id_table(), np.int32)
+            n_words = len(lexicon.words)
+            space_id = lexicon.space_id
+        rc = lib.vo_beam_decode_batch_lex(
+            *common,
+            next_tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            boundary.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            (wt.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+             if wt is not None else None),
+            (wi.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+             if wi is not None else None),
+            n_words, space_id, word_lm_alpha, word_lm_beta,
+            *outs,
+        )
     if rc != 0:
         raise RuntimeError(f"vo_beam_decode_batch failed with rc={rc}")
     return (

@@ -229,14 +229,11 @@ def run_inference(
                 "device word fusion needs --lexicon and a bigram word "
                 "LM; use --beam-impl host otherwise"
             )
-    if lexicon is not None and lm_path:
-        # lexicon decoding runs the Python expansion; it needs the
-        # Python LM object, not the native C++ handle
-        from .decode.lm import ArpaLM
-
-        lm = ArpaLM.read_arpa(lm_path)
-    else:
-        lm = load_lm(lm_path, alphabet) if lm_path else None
+    # load_lm serves both engines: the C++ engine fuses NativeLM with
+    # the lexicon directly (dense tables), the Python fallback gets a
+    # python ArpaLM because load_lm only returns NativeLM when the
+    # native lib is available
+    lm = load_lm(lm_path, alphabet) if lm_path else None
     if decoder == "beam" and beam_config is None:
         beam_config = BeamConfig(
             lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta,

@@ -357,16 +357,12 @@ class OcrService:
         self._eval_raw = _jit(_forward_raw, 4)
         self._eval_raw_greedy = _jit(_raw_greedy, 4)
         self._eval_raw_beam = _jit(_raw_beam, 4)
-        if self._lexicon is not None and config.lm_path:
-            from ..decode.lm import ArpaLM
-
-            # host lexicon expansion needs the Python LM object
-            self._lm = ArpaLM.read_arpa(config.lm_path)
-        else:
-            self._lm = (
-                load_lm(config.lm_path, self.alphabet)
-                if config.lm_path else None
-            )
+        # load_lm serves both host engines: C++ fuses NativeLM with the
+        # lexicon via dense tables; the Python fallback gets an ArpaLM
+        self._lm = (
+            load_lm(config.lm_path, self.alphabet)
+            if config.lm_path else None
+        )
         # uxxxx -> utf8 via a per-alphabet table: re-parsing each hex token
         # per line measured ~45% of the host finalize cost.
         self._char_of = {
