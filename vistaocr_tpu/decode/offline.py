@@ -48,6 +48,9 @@ def decode_posteriors(
     beam_width: int = 16,
     topk: int = 8,
     lexicon_path: Optional[str] = None,
+    word_lm_path: Optional[str] = None,
+    word_lm_alpha: float = 0.5,
+    word_lm_beta: float = 0.0,
     refs: Optional[Dict[str, str]] = None,
     out_path: Optional[str] = None,
     log=print,
@@ -80,15 +83,17 @@ def decode_posteriors(
             from .lexicon import Lexicon
 
             lexicon = Lexicon.read_words(alphabet, lexicon_path)
-        if lexicon is not None and lm_path:
+        word_lm = None
+        if word_lm_path:
             from .lm import ArpaLM
 
-            lm = ArpaLM.read_arpa(lm_path)  # python engine needs .score
-        else:
-            lm = load_lm(lm_path, alphabet) if lm_path else None
+            word_lm = ArpaLM.read_arpa(word_lm_path)
+        lm = load_lm(lm_path, alphabet) if lm_path else None
         config = BeamConfig(
             beam_width=beam_width, topk=topk,
             lm_alpha=lm_alpha if lm is not None else 0.0, lm_beta=lm_beta,
+            word_lm_alpha=(word_lm_alpha if word_lm is not None else 0.0),
+            word_lm_beta=word_lm_beta,
         )
         k = min(config.topk, alphabet.num_classes - 1)
         # stream one dump file at a time — each file is one bucketed batch
@@ -105,6 +110,7 @@ def decode_posteriors(
             decoded = beam_decode(
                 lp, mask, alphabet, config, lm=lm,
                 precomputed_topk=(vals, ids), lexicon=lexicon,
+                word_lm=word_lm,
             )
             for lid, hyp in zip(lids, decoded):
                 hyps[lid] = hyp
@@ -160,6 +166,10 @@ def main(argv=None):
     p.add_argument("--lexicon", default=None, metavar="WORDS",
                    help="word list: constrain beam hypotheses to lexicon "
                         "words (host trie constraint)")
+    p.add_argument("--word-lm", default=None, metavar="ARPA",
+                   help="word-level ARPA LM fused at word boundaries")
+    p.add_argument("--word-lm-alpha", type=float, default=0.5)
+    p.add_argument("--word-lm-beta", type=float, default=0.0)
     p.add_argument("--data", default=None,
                    help="dataset dir for references (CER/WER report)")
     p.add_argument("--split", default=None,
@@ -188,6 +198,9 @@ def main(argv=None):
         beam_width=args.beam_width,
         topk=args.topk,
         lexicon_path=args.lexicon,
+        word_lm_path=args.word_lm,
+        word_lm_alpha=args.word_lm_alpha,
+        word_lm_beta=args.word_lm_beta,
         refs=refs,
         out_path=args.out,
     )
