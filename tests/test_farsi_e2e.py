@@ -123,3 +123,35 @@ class TestFarsiEndToEnd:
                 assert nb[0]["hyp_uxxxx"] == rec["hyp_uxxxx"]
                 scores = [e["score"] for e in nb]
                 assert scores == sorted(scores, reverse=True)
+
+    def test_nbest_host_with_lexicon(self, farsi_run, tmp_path):
+        """Constrained n-best (host expansion): ranked lists where every
+        alternative is a concatenation of lexicon words."""
+        import json
+
+        from vistaocr_tpu.data.shards import ShardedLineDataset
+        from vistaocr_tpu.text import uxxxx_to_utf8
+
+        data, run, _ = farsi_run
+        ds = ShardedLineDataset(data, "train")
+        words = set()
+        for tr in ds.transcripts():
+            words.update(uxxxx_to_utf8(tr).split())
+        wl = str(tmp_path / "w.txt")
+        with open(wl, "w", encoding="utf-8") as f:
+            f.write("\n".join(sorted(words)))
+        out = str(tmp_path / "nbest.jsonl")
+        rep = run_inference(run + "/best", data, "test",
+                            batch_pixels=2**17, decoder="beam",
+                            beam_impl="host", nbest=3, lexicon_path=wl,
+                            out_path=out, log=lambda *a: None)
+        assert rep["lines"] > 0
+        with open(out) as f:
+            for line in f:
+                rec = json.loads(line)
+                nb = rec["nbest"]
+                assert 1 <= len(nb) <= 3
+                assert nb[0]["hyp_uxxxx"] == rec["hyp_uxxxx"]
+                for e in nb:
+                    for w in e["hyp_text"].split():
+                        assert w in words

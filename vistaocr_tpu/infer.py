@@ -234,6 +234,13 @@ def run_inference(
     # python ArpaLM because load_lm only returns NativeLM when the
     # native lib is available
     lm = load_lm(lm_path, alphabet) if lm_path else None
+    if nbest > 1 and beam_impl == "host" and lm is not None \
+            and not hasattr(lm, "score"):
+        # host n-best runs the Python expansion per line; it needs the
+        # Python LM object, not the native C++ handle
+        from .decode.lm import ArpaLM
+
+        lm = ArpaLM.read_arpa(lm_path)
     if decoder == "beam" and beam_config is None:
         beam_config = BeamConfig(
             lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta,
@@ -249,8 +256,8 @@ def run_inference(
     confs: list = []  # per-line confidence; parallel to hyps where defined
     lm_fusion = None  # set to "device-interleaved" when the dense path runs
     nbest_lists: list = []  # per-line ranked (uxxxx, score), --nbest > 1
-    if nbest > 1 and not (decoder == "beam" and beam_impl == "device"):
-        raise ValueError("--nbest needs --decoder beam --beam-impl device")
+    if nbest > 1 and decoder != "beam":
+        raise ValueError("--nbest needs --decoder beam")
     t0 = time.time()
     # Two-phase, as in serve.OcrService.ocr_lines: dispatch every batch's
     # DEVICE work first (dispatch is async, so H2D/compute/D2H pipeline
@@ -290,8 +297,8 @@ def run_inference(
         if lexicon is not None:
             if nbest > 1:
                 raise ValueError(
-                    "--nbest does not compose with --lexicon (n-best "
-                    "lists come from the unconstrained all-beams search)"
+                    "--nbest with --lexicon runs in the host expansion: "
+                    "use --beam-impl host"
                 )
             if lm is not None and beam_config.lm_alpha != 0 \
                     and lm_table is None:
@@ -394,6 +401,27 @@ def run_inference(
 
         def finalize(entry):
             indices, valid, log_probs, frame_mask, topk = entry
+            if nbest > 1:
+                # host n-best: the Python expansion returns the full
+                # ranked beam per line — composes with lexicon/word-LM
+                # (constrained n-best is the rescoring export)
+                from .decode.beam import prefix_beam_search
+
+                lp = np.asarray(log_probs)
+                vals, tids = (np.asarray(topk[0]), np.asarray(topk[1]))
+                nframes = np.asarray(frame_mask).sum(axis=1).astype(int)
+                for b in np.flatnonzero(np.asarray(valid)):
+                    Tb = int(nframes[b])
+                    ranked = prefix_beam_search(
+                        lp[b, :Tb], alphabet, beam_config, lm=lm,
+                        topk_vals=vals[b, :Tb], topk_ids=tids[b, :Tb],
+                        lexicon=lexicon, word_lm=word_lm,
+                    )[:nbest]
+                    hyps.append(ranked[0][0] if ranked else "")
+                    confs.append(None)
+                    nbest_lists.append(ranked)
+                _collect_refs(indices, valid, ds, refs, ids)
+                return
             decoded = beam_decode(
                 log_probs, frame_mask, alphabet, beam_config, lm=lm,
                 valid=valid, precomputed_topk=topk, lexicon=lexicon,
@@ -529,9 +557,10 @@ def main(argv=None):
                         "hypotheses to lexicon words (with --beam-impl "
                         "host) — the Kaldi-era lexicon-FST workflow")
     p.add_argument("--nbest", type=int, default=1,
-                   help="with --decoder beam --beam-impl device: write the "
-                        "top-N ranked hypotheses per line into --out (the "
-                        "reference era's n-best/lattice export surface)")
+                   help="with --decoder beam: write the top-N ranked "
+                        "hypotheses per line into --out (the reference "
+                        "era's n-best export); --beam-impl host composes "
+                        "with --lexicon/--word-lm (constrained n-best)")
     p.add_argument("--dump-posteriors", default=None, metavar="DIR",
                    help="also export per-frame log-probs (f16 npz per "
                         "batch + alphabet meta) for external decoding/"
