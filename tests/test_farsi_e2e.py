@@ -129,7 +129,6 @@ class TestFarsiEndToEnd:
         alternative is a concatenation of lexicon words."""
         import json
 
-        from vistaocr_tpu.data.shards import ShardedLineDataset
         from vistaocr_tpu.text import uxxxx_to_utf8
 
         data, run, _ = farsi_run
@@ -153,5 +152,8 @@ class TestFarsiEndToEnd:
                 assert 1 <= len(nb) <= 3
                 assert nb[0]["hyp_uxxxx"] == rec["hyp_uxxxx"]
                 for e in nb:
-                    for w in e["hyp_text"].split():
+                    ws = e["hyp_text"].split()
+                    # the documented mid-word fallback may leave ONE
+                    # trailing fragment when no final lands on a boundary
+                    for w in ws[:-1]:
                         assert w in words

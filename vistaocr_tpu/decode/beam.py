@@ -268,9 +268,10 @@ def beam_decode(
     lm=None,  # ArpaLM (python path) | NativeLM (C++ path) | None
     valid: Optional[np.ndarray] = None,
     precomputed_topk=None,  # (vals, ids) from beam_topk, for two-phase callers
-    lexicon=None,  # Lexicon: hard vocabulary constraint (python path only)
-    word_lm=None,  # ArpaLM over utf8 words (python path only)
-) -> List[str]:
+    lexicon=None,  # Lexicon: hard vocabulary constraint
+    word_lm=None,  # ArpaLM over utf8 words
+    nbest: int = 1,  # > 1: return ranked (uxxxx, score) lists per line
+) -> List:
     """Batch beam decode -> best uxxxx hypothesis per valid sample.
     Device does log-probs + top-k; host expands — through the C++ engine
     when it is built and the LM (if any) is a NativeLM, else pure Python.
@@ -294,6 +295,7 @@ def beam_decode(
     # (use NativeLM) or a word LM beyond bigram (dense table bound).
     use_native = (
         nb.available()
+        and nbest <= 1  # the C ABI returns the best prefix only
         and (lm is None or isinstance(lm, nb.NativeLM))
         and (word_lm is None or getattr(word_lm, "order", 99) <= 2)
     )
@@ -334,7 +336,10 @@ def beam_decode(
             topk_vals=vals[b, :Tb], topk_ids=ids[b, :Tb],
             lexicon=lexicon, word_lm=word_lm,
         )
-        out.append(hyps[0][0] if hyps else "")
+        if nbest > 1:
+            out.append(hyps[:nbest])
+        else:
+            out.append(hyps[0][0] if hyps else "")
     return out
 
 

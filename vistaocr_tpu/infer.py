@@ -215,6 +215,8 @@ def run_inference(
         from .decode.lexicon import Lexicon
 
         lexicon = Lexicon.read_words(alphabet, lexicon_path)
+    if nbest > 1 and decoder != "beam":
+        raise ValueError("--nbest needs --decoder beam")
     word_lm = None
     if word_lm_path:
         if decoder != "beam":
@@ -229,18 +231,22 @@ def run_inference(
                 "device word fusion needs --lexicon and a bigram word "
                 "LM; use --beam-impl host otherwise"
             )
-    # load_lm serves both engines: the C++ engine fuses NativeLM with
-    # the lexicon directly (dense tables), the Python fallback gets a
-    # python ArpaLM because load_lm only returns NativeLM when the
-    # native lib is available
-    lm = load_lm(lm_path, alphabet) if lm_path else None
-    if nbest > 1 and beam_impl == "host" and lm is not None \
-            and not hasattr(lm, "score"):
-        # host n-best runs the Python expansion per line; it needs the
-        # Python LM object, not the native C++ handle
+    # One LM load, picked for the engine that will actually run: the
+    # host PYTHON expansion (n-best, or a >bigram word LM) needs the
+    # Python ArpaLM; every other path takes load_lm's choice (NativeLM
+    # when the C++ engine is built — it fuses lexicon/word tables
+    # directly).
+    py_expansion = beam_impl == "host" and (
+        nbest > 1 or (word_lm is not None and word_lm.order > 2)
+    )
+    if not lm_path:
+        lm = None
+    elif py_expansion:
         from .decode.lm import ArpaLM
 
         lm = ArpaLM.read_arpa(lm_path)
+    else:
+        lm = load_lm(lm_path, alphabet)
     if decoder == "beam" and beam_config is None:
         beam_config = BeamConfig(
             lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta,
@@ -256,8 +262,6 @@ def run_inference(
     confs: list = []  # per-line confidence; parallel to hyps where defined
     lm_fusion = None  # set to "device-interleaved" when the dense path runs
     nbest_lists: list = []  # per-line ranked (uxxxx, score), --nbest > 1
-    if nbest > 1 and decoder != "beam":
-        raise ValueError("--nbest needs --decoder beam")
     t0 = time.time()
     # Two-phase, as in serve.OcrService.ocr_lines: dispatch every batch's
     # DEVICE work first (dispatch is async, so H2D/compute/D2H pipeline
@@ -401,34 +405,19 @@ def run_inference(
 
         def finalize(entry):
             indices, valid, log_probs, frame_mask, topk = entry
-            if nbest > 1:
-                # host n-best: the Python expansion returns the full
-                # ranked beam per line — composes with lexicon/word-LM
-                # (constrained n-best is the rescoring export)
-                from .decode.beam import prefix_beam_search
-
-                lp = np.asarray(log_probs)
-                vals, tids = (np.asarray(topk[0]), np.asarray(topk[1]))
-                nframes = np.asarray(frame_mask).sum(axis=1).astype(int)
-                for b in np.flatnonzero(np.asarray(valid)):
-                    Tb = int(nframes[b])
-                    ranked = prefix_beam_search(
-                        lp[b, :Tb], alphabet, beam_config, lm=lm,
-                        topk_vals=vals[b, :Tb], topk_ids=tids[b, :Tb],
-                        lexicon=lexicon, word_lm=word_lm,
-                    )[:nbest]
-                    hyps.append(ranked[0][0] if ranked else "")
-                    confs.append(None)
-                    nbest_lists.append(ranked)
-                _collect_refs(indices, valid, ds, refs, ids)
-                return
             decoded = beam_decode(
                 log_probs, frame_mask, alphabet, beam_config, lm=lm,
                 valid=valid, precomputed_topk=topk, lexicon=lexicon,
-                word_lm=word_lm,
+                word_lm=word_lm, nbest=nbest,
             )
-            hyps.extend(decoded)
-            confs.extend([None] * len(decoded))  # host oracle: no scores
+            if nbest > 1:  # ranked (uxxxx, score) lists per line
+                for ranked in decoded:
+                    hyps.append(ranked[0][0] if ranked else "")
+                    confs.append(None)
+                    nbest_lists.append(ranked)
+            else:
+                hyps.extend(decoded)
+                confs.extend([None] * len(decoded))  # host: no scores
             _collect_refs(indices, valid, ds, refs, ids)
 
         k = None
