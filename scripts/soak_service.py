@@ -27,16 +27,23 @@ def main():
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=3.0)
     p.add_argument("--decoder", choices=("greedy", "beam"), default="greedy")
+    p.add_argument("--lexicon", default=None)
+    p.add_argument("--word-lm", default=None)
     p.add_argument("--seed", type=int, default=11)
     args = p.parse_args()
 
     import numpy as np
 
+    from vistaocr_tpu.decode import BeamConfig
     from vistaocr_tpu.serve import OcrService, ServiceConfig
 
     svc = OcrService(args.snapshot, ServiceConfig(
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         decoder=args.decoder,
+        lexicon_path=args.lexicon,
+        word_lm_path=args.word_lm,
+        beam=BeamConfig(word_lm_alpha=0.6 if args.word_lm else 0.0,
+                        word_lm_beta=0.3 if args.word_lm else 0.0),
     ))
     H = svc.contract.height
     wmax = svc.contract.bucket_widths[-1]
