@@ -247,7 +247,7 @@ def main():
     # host normalize + device forward + decode). Futures resolve with host
     # strings, so no extra fencing is needed. BENCH_SERVICE=0 skips.
     svc_lps = svc_beam_lps = 0.0
-    svc_lm_fused_lps = svc_lm_2pass_lps = 0.0
+    svc_lm_fused_lps = svc_lm_2pass_lps = svc_lg_lps = 0.0
     if os.environ.get("BENCH_SERVICE", "1") == "1":
         import tempfile
 
@@ -315,6 +315,32 @@ def main():
                 svc_lm_2pass_lps = lps
             _log(f"service beam+LM ({name}): {lps:.0f} lines/s/chip")
 
+        # Full constrained stack: device beam + lexicon trie + word
+        # bigram fused in one program (the L∘G decode on device).
+        from vistaocr_tpu.text import uxxxx_to_utf8
+
+        sentences = [
+            uxxxx_to_utf8(val.transcript(i)) for i in range(len(val))
+        ]
+        words = sorted({w for snt in sentences for w in snt.split()})
+        wl_path = os.path.join(snap, "bench_words.txt")
+        with open(wl_path, "w") as f:
+            f.write("\n".join(words))
+        wlm_path = os.path.join(snap, "bench_word2.arpa")
+        train_char_lm(sentences, order=2).write_arpa(wlm_path)
+        svc_lg = OcrService(snap, ServiceConfig(
+            max_batch=128, max_wait_ms=2.0, decoder="beam",
+            lexicon_path=wl_path, word_lm_path=wlm_path,
+            beam=BeamConfig(word_lm_alpha=0.6, word_lm_beta=0.3),
+        ))
+        svc_lg.ocr_lines(imgs)  # untimed warm pass
+        t0 = time.time()
+        res = svc_lg.ocr_lines(imgs)
+        svc_lg_lps = len(res) / (time.time() - t0) / n_chips
+        svc_lg.close()
+        _log(f"service beam+lexicon+wordLM (L.G fused): "
+             f"{svc_lg_lps:.0f} lines/s/chip")
+
     # Online latency-shaped path (submit() futures + max_wait batching):
     # N concurrent submitters drive the queues; report lines/s + p50/p99
     # end-to-end latency. BENCH_SUBMIT=0 skips.
@@ -372,6 +398,8 @@ def main():
                 svc_lm_fused_lps, 1),
             "service_beam_lm_2pass_lines_per_sec_per_chip": round(
                 svc_lm_2pass_lps, 1),
+            "service_beam_lexicon_wordlm_lines_per_sec_per_chip": round(
+                svc_lg_lps, 1),
             "chips": n_chips,
             "timed_steps": TIMED_STEPS,
             "compute_dtype": "bfloat16",
