@@ -5,7 +5,8 @@ PY ?= python
 DATA ?= /tmp/vistaocr_data
 RUN ?= /tmp/vistaocr_run
 
-.PHONY: test test-fast bench synth-data train-smoke infer-smoke native clean
+.PHONY: test test-fast bench synth-data train-smoke infer-smoke native \
+    quality-hw iam-e2e madcat-e2e soak clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -33,6 +34,20 @@ infer-smoke:
 native:
 	$(PY) -c "from vistaocr_tpu.decode import native_binding as nb; \
 	    print('native ok' if nb.available() else nb.build_error())"
+
+# Corpus-scale evidence runs (real chip; see docs/design.md for the
+# recorded results of each)
+quality-hw:
+	$(PY) scripts/quality_run.py --kind handwriting --out /tmp/vistaocr_hw
+
+iam-e2e:
+	$(PY) scripts/iam_e2e.py --out /tmp/vistaocr_iam_e2e
+
+madcat-e2e:
+	$(PY) scripts/madcat_e2e.py --out /tmp/vistaocr_madcat_e2e
+
+soak:
+	$(PY) scripts/soak_service.py --snapshot $(RUN)/best --seconds 300
 
 clean:
 	rm -rf vistaocr_tpu/decode/native/_native.so
