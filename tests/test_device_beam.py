@@ -501,3 +501,60 @@ class TestDeviceWordLM:
         with pytest.raises(ValueError, match="lex_next"):
             beam_scan(lp, mask, beam_width=4, topk=2, prune_logp=-12.0,
                       word_table=jnp.zeros((3, 2)))
+
+
+class TestFullStackParity:
+    """All three fusions at once — char trigram + lexicon trie + word
+    bigram — device vs host oracle, string-exact (the triple combination
+    the pairwise suites don't cover)."""
+
+    @pytest.mark.parametrize("seed", [5, 17])
+    def test_triple_fusion_matches_oracle(self, seed):
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import (
+            dense_logp_table,
+            dense_word_logp_table,
+            train_char_lm,
+        )
+
+        rng = np.random.default_rng(seed)
+        chars = "abcdef"
+        al = Alphabet.build([utf8_to_uxxxx(chars + " ")])
+        K = al.num_classes
+        B, T, W, k = 4, 60, 8, 4
+        logits = rng.normal(0, 2.5, (B, T, K)).astype(np.float32)
+        logits[..., 0] += 1.5
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+              ).astype(np.float32)
+        frames = rng.integers(10, T + 1, B).astype(np.int32)
+        mask = np.arange(T)[None, :] < frames[:, None]
+        words = sorted({
+            "".join(rng.choice(list(chars), rng.integers(1, 5)))
+            for _ in range(15)
+        })
+        lex = Lexicon.from_words(al, words)
+        corpus = [" ".join(rng.choice(words, 3)) for _ in range(100)]
+        wlm = train_char_lm(corpus, order=2)
+        clm = train_char_lm([utf8_to_uxxxx(s) for s in corpus], order=3)
+        cfg = BeamConfig(beam_width=W, topk=k, prune_logp=-12.0,
+                         lm_alpha=0.5, lm_beta=0.2,
+                         word_lm_alpha=0.7, word_lm_beta=0.3)
+        nt, bd = lex.dense_tables()
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=W, topk=k,
+            prune_logp=-12.0,
+            lm_table=jnp.asarray(dense_logp_table(clm, al, order=3)),
+            lm_alpha=0.5, lm_beta=0.2,
+            lex_next=jnp.asarray(nt), lex_boundary=jnp.asarray(bd),
+            word_table=jnp.asarray(dense_word_logp_table(wlm, lex.words)),
+            word_ids=jnp.asarray(lex.word_id_table()),
+            space_id=lex.space_id, word_alpha=0.7, word_beta=0.3,
+        )
+        packed = np.asarray(packed)
+        for b in range(B):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg, lm=clm, lexicon=lex,
+                word_lm=wlm)
+            row = packed[b, :-1]
+            assert al.decode(row[row != 0].tolist()) == hyps[0][0]
