@@ -21,3 +21,35 @@ SURVEY.md section 2.
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level conveniences (PEP 562): `from vistaocr_tpu import
+# OcrService` etc. without paying subpackage (and jax) import cost for
+# `import vistaocr_tpu` alone.
+_LAZY = {
+    "OcrService": ("vistaocr_tpu.serve", "OcrService"),
+    "ServiceConfig": ("vistaocr_tpu.serve", "ServiceConfig"),
+    "run_inference": ("vistaocr_tpu.infer", "run_inference"),
+    "fit": ("vistaocr_tpu.train", "fit"),
+    "TrainConfig": ("vistaocr_tpu.train", "TrainConfig"),
+    "load_model": ("vistaocr_tpu.checkpoint", "load_model"),
+    "Alphabet": ("vistaocr_tpu.text", "Alphabet"),
+    "cer_wer": ("vistaocr_tpu.text", "cer_wer"),
+    "build_synthetic_dataset": ("vistaocr_tpu.data",
+                                "build_synthetic_dataset"),
+}
+
+
+def __getattr__(name):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
