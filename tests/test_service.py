@@ -443,3 +443,51 @@ class TestDeviceLexicon:
             finally:
                 svc.close()
         assert out["device"] == out["host"]
+
+
+class TestDeviceDeskew:
+    def test_skewed_lines_decode_with_device_deskew(self, snapshot):
+        """Lines sheared by ~2 deg (small enough that no ink clips off
+        the 32-px canvas): with device_deskew the decode must be closer
+        to the straight originals than without it."""
+        import math
+
+        from vistaocr_tpu.text import cer_wer, utf8_to_uxxxx
+
+        snap, _ = snapshot
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=2),
+            seed=83,
+        )
+        t = math.tan(math.radians(2.0))
+        straight, skewed = [], []
+        for _ in range(10):
+            img, _txt = gen.sample(height=32, max_width=220)
+            straight.append(img)
+            H, W = img.shape
+            sk = np.full_like(img, 255)
+            cx = (W - 1) / 2.0
+            for y in range(H):
+                for xx in range(W):
+                    src = y + (xx - cx) * t
+                    if 0 <= int(round(src)) < H:
+                        sk[y, xx] = img[int(round(src)), xx]
+            skewed.append(sk)
+
+        out = {}
+        for name, imgs, dsk in (("straight", straight, False),
+                                ("skew_raw", skewed, False),
+                                ("skew_deskewed", skewed, True)):
+            svc = OcrService(snap, ServiceConfig(
+                max_batch=16, warmup=False, device_deskew=dsk))
+            try:
+                out[name] = [utf8_to_uxxxx(r.text)
+                             for r in svc.ocr_lines(imgs)]
+            finally:
+                svc.close()
+        cer_desk, _ = cer_wer(out["skew_deskewed"], out["straight"])
+        cer_raw, _ = cer_wer(out["skew_raw"], out["straight"])
+        # correction must bring the decode closer to the straight truth
+        assert cer_desk <= cer_raw, (cer_desk, cer_raw)
+        assert cer_desk < 0.15, (cer_desk, cer_raw, out)

@@ -101,6 +101,12 @@ class ServiceConfig:
     # and a bigram (the dense [Vw+1, Vw] table); host impl takes any
     # order. The full Kaldi-era L∘G stack.
     word_lm_path: Optional[str] = None
+    # On-device deskew (ops/deskew.py): estimate + correct line skew
+    # INSIDE the per-bucket graph (projection-profile fan, vertical-shear
+    # correction) — completing the north-star preprocess chain on
+    # device. Off by default, like prep-time deskew (do_deskew) on the
+    # host path.
+    device_deskew: bool = False
     # On-device height normalization (ops/resize.py): requests at
     # non-contract heights are resized INSIDE the per-bucket graph; the
     # host does only grayscale/polarity (and integer pre-pooling for
@@ -212,10 +218,17 @@ class OcrService:
             def _jit(fn, n_batch_args):
                 return jax.jit(fn)
 
+        def _maybe_deskew(images, widths):
+            if not self.config.device_deskew:
+                return images
+            from ..ops.deskew import device_deskew
+
+            return device_deskew(images, widths)[0]
+
         def _fused(params, batch_stats, images, widths):
             lp, fm = model.apply(
                 {"params": params, "batch_stats": batch_stats},
-                images, widths, train=False,
+                _maybe_deskew(images, widths), widths, train=False,
             )
             return greedy_frames_packed(lp, fm)
 
@@ -294,7 +307,7 @@ class OcrService:
         def _fused_beam(params, batch_stats, images, widths):
             lp, fm = model.apply(
                 {"params": params, "batch_stats": batch_stats},
-                images, widths, train=False,
+                _maybe_deskew(images, widths), widths, train=False,
             )
             if self._lm_table is not None or self._lex_kw:
                 kw = dict(self._lex_kw)
@@ -327,7 +340,7 @@ class OcrService:
             ))
             return model.apply(
                 {"params": params, "batch_stats": batch_stats},
-                img, new_widths, train=False,
+                _maybe_deskew(img, new_widths), new_widths, train=False,
             )
 
         def _raw_greedy(params, batch_stats, raw, heights, widths,
