@@ -151,6 +151,11 @@ def main(argv=None):
     p.add_argument("--lexicon", default=None, metavar="WORDS",
                    help="word list: constrain beam hypotheses to lexicon "
                         "words (device trie with --decoder beam)")
+    p.add_argument("--word-lm", default=None, metavar="ARPA",
+                   help="word-level ARPA LM fused at word boundaries "
+                        "(bigram on device with --lexicon)")
+    p.add_argument("--word-lm-alpha", type=float, default=0.5)
+    p.add_argument("--word-lm-beta", type=float, default=0.0)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--no-device-resize", action="store_true",
@@ -168,9 +173,14 @@ def main(argv=None):
         max_wait_ms=args.max_wait_ms,
         decoder=args.decoder,
         beam_impl=args.beam_impl,
-        beam=BeamConfig(lm_alpha=args.lm_alpha if args.lm else 0.0),
+        beam=BeamConfig(
+            lm_alpha=args.lm_alpha if args.lm else 0.0,
+            word_lm_alpha=args.word_lm_alpha if args.word_lm else 0.0,
+            word_lm_beta=args.word_lm_beta,
+        ),
         lm_path=args.lm,
         lexicon_path=args.lexicon,
+        word_lm_path=args.word_lm,
         device_resize=not args.no_device_resize,
         warmup=not args.no_warmup,
     )
