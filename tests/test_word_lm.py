@@ -107,3 +107,30 @@ class TestWordLM:
         with pytest.raises(ValueError, match="u0020"):
             prefix_beam_search(
                 lp, al, BeamConfig(word_lm_alpha=1.0), word_lm=wlm)
+
+
+class TestBeamDecodeDispatch:
+    def test_word_lm_without_lexicon_not_dropped_by_native(self, alphabet):
+        """beam_decode(word_lm=..., lexicon=None) must apply the word LM
+        even when the C++ engine is built: the native path has no
+        open-vocabulary word-LM ABI (its dense word table is keyed by
+        lexicon word ids), so this combination must route to the Python
+        expansion instead of silently decoding unfused (ADVICE r3 high)."""
+        import jax.numpy as jnp
+
+        from vistaocr_tpu.decode.beam import beam_decode
+
+        lp = _peaked(alphabet, "cab cab")
+        b = alphabet.index_of(utf8_to_uxxxx("b"))
+        t = alphabet.index_of(utf8_to_uxxxx("t"))
+        hot_b = lp[:, b] > -1.0
+        lp[hot_b, t] = lp[hot_b, b] - 0.1
+        wlm = _word_lm(["cat cat"] * 50 + ["cab cab"])
+        cfg = BeamConfig(beam_width=8, topk=4, word_lm_alpha=1.5)
+        batch = jnp.asarray(lp)[None]
+        mask = jnp.ones((1, lp.shape[0]), bool)
+        # oracle: the single-line Python expansion with the word LM fused
+        want = prefix_beam_search(lp, alphabet, cfg, word_lm=wlm)[0][0]
+        assert want == utf8_to_uxxxx("cat cat")
+        got = beam_decode(batch, mask, alphabet, cfg, word_lm=wlm)
+        assert got == [want]

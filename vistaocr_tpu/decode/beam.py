@@ -292,19 +292,25 @@ def beam_decode(
 
     # The C++ engine now shares the dense-table lexicon/word-LM
     # semantics; it handles every combination except a PYTHON char LM
-    # (use NativeLM) or a word LM beyond bigram (dense table bound).
+    # (use NativeLM), a word LM beyond bigram (dense table bound), or a
+    # word LM WITHOUT a lexicon (the dense word table is keyed by lexicon
+    # word ids — the C ABI has no open-vocabulary word path, so that
+    # combination must run the Python expansion or it would be silently
+    # dropped; ADVICE r3 high).
     use_native = (
         nb.available()
         and nbest <= 1  # the C ABI returns the best prefix only
         and (lm is None or isinstance(lm, nb.NativeLM))
         and (word_lm is None or getattr(word_lm, "order", 99) <= 2)
+        and (word_lm is None or config.word_lm_alpha == 0.0
+             or lexicon is not None)
     )
-    if lexicon is not None and not use_native and lm is not None \
-            and not hasattr(lm, "score"):
+    if not use_native and lm is not None and not hasattr(lm, "score"):
         raise TypeError(
-            "constrained decoding without the native lib runs the Python "
-            "expansion; pass an ArpaLM (decode.lm.ArpaLM.read_arpa), not "
-            "the native C++ LM handle"
+            "this decode configuration runs the Python expansion (native "
+            "engine unavailable or combination unsupported); pass an "
+            "ArpaLM (decode.lm.ArpaLM.read_arpa), not the native C++ LM "
+            "handle"
         )
     if use_native:
         all_ids, _ = nb.beam_decode_batch_native(

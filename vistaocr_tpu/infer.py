@@ -337,11 +337,15 @@ def run_inference(
                 fused_kw["lm_table"] = lm_table
 
             def prog(lp, fm):
-                return fused_prog(lp, fm, **fused_kw)
+                # drop totals: fused finalize reads only the packed row,
+                # and each fetched array costs a fixed ~75 ms on the relay
+                # (ADVICE r3 medium) — only packed may leave the device
+                _, packed = fused_prog(lp, fm, **fused_kw)
+                return (packed,)
 
             def finalize(entry):
                 indices, valid, pre = entry
-                _, packed = pre
+                (packed,) = pre
                 packed = np.asarray(packed)  # [B, T+1]
                 for i in np.flatnonzero(np.asarray(valid)):
                     hyps.append(_collapse(packed[i, :-1], alphabet))

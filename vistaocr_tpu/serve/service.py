@@ -250,6 +250,22 @@ class OcrService:
                 "lexicon_path needs decoder='beam' (the constraint lives "
                 "in the beam search)"
             )
+        if config.word_lm_path and config.decoder != "beam":
+            raise ValueError(
+                "word_lm_path needs decoder='beam' (word-LM fusion lives "
+                "in the beam search)"
+            )
+
+        # Decode tables must live where the graph runs: replicated over
+        # the serving mesh when one is active (a bare device_put commits
+        # to one device and breaks GSPMD composition; ADVICE r3 low).
+        def _put_table(x):
+            if self._mesh is not None:
+                from ..parallel.mesh import replicated
+
+                return jax.device_put(x, replicated(self._mesh))
+            return jax.device_put(x)
+
         if config.lexicon_path and config.decoder == "beam":
             from ..decode.lexicon import Lexicon
 
@@ -258,8 +274,8 @@ class OcrService:
             if config.beam_impl == "device":
                 next_tbl, boundary = self._lexicon.dense_tables()
                 self._lex_kw = dict(
-                    lex_next=jax.device_put(next_tbl),
-                    lex_boundary=jax.device_put(boundary),
+                    lex_next=_put_table(next_tbl),
+                    lex_boundary=_put_table(boundary),
                 )
         self._word_lm = None
         if config.word_lm_path and config.decoder == "beam":
@@ -273,10 +289,10 @@ class OcrService:
                         "bigram word LM; use beam_impl='host' otherwise"
                     )
                 self._lex_kw.update(
-                    word_table=jax.device_put(np.asarray(
+                    word_table=_put_table(np.asarray(
                         dense_word_logp_table(
                             self._word_lm, self._lexicon.words))),
-                    word_ids=jax.device_put(
+                    word_ids=_put_table(
                         self._lexicon.word_id_table()),
                     space_id=self._lexicon.space_id,
                     word_alpha=float(config.beam.word_lm_alpha),
@@ -289,14 +305,8 @@ class OcrService:
 
             py_lm = ArpaLM.read_arpa(config.lm_path)
             if 2 <= py_lm.order <= 3:
-                table = jnp.asarray(dense_logp_table(py_lm, self.alphabet))
-                if self._mesh is not None:
-                    from ..parallel.mesh import replicated
-
-                    self._lm_table = jax.device_put(
-                        table, replicated(self._mesh))
-                else:
-                    self._lm_table = jax.device_put(table)
+                self._lm_table = _put_table(
+                    np.asarray(dense_logp_table(py_lm, self.alphabet)))
         self._beam_all = want_lm and self._lm_table is None
         if self._lex_kw and want_lm and self._lm_table is None:
             raise ValueError(
@@ -304,25 +314,33 @@ class OcrService:
                 "(fused); use beam_impl='host' for higher orders"
             )
 
-        def _fused_beam(params, batch_stats, images, widths):
-            lp, fm = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                _maybe_deskew(images, widths), widths, train=False,
-            )
+        def _beam_tail(lp, fm):
+            """Device beam search after a forward pass. In the fused
+            LM/lexicon mode only the packed [B, T+1] winner row is
+            returned — the totals never reach the host, so the relay's
+            fixed ~75 ms per-array D2H cost is paid once, not twice."""
             if self._lm_table is not None or self._lex_kw:
                 kw = dict(self._lex_kw)
                 if self._lm_table is not None:
                     kw.update(lm_table=self._lm_table,
                               lm_alpha=float(bc.lm_alpha),
                               lm_beta=float(bc.lm_beta))
-                return beam_scan_collapsed(
+                _, packed = beam_scan_collapsed(
                     lp, fm, beam_width=bc.beam_width, topk=bc.topk,
                     prune_logp=float(bc.prune_logp), **kw,
                 )
+                return packed
             return beam_scan_collapsed(
                 lp, fm, beam_width=bc.beam_width, topk=bc.topk,
                 prune_logp=float(bc.prune_logp), all_beams=self._beam_all,
             )
+
+        def _fused_beam(params, batch_stats, images, widths):
+            lp, fm = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                _maybe_deskew(images, widths), widths, train=False,
+            )
+            return _beam_tail(lp, fm)
 
         self._eval_beam = _jit(_fused_beam, 2)
 
@@ -352,20 +370,7 @@ class OcrService:
         def _raw_beam(params, batch_stats, raw, heights, widths, new_widths):
             lp, fm = _forward_raw(params, batch_stats, raw, heights, widths,
                                   new_widths)
-            if self._lm_table is not None or self._lex_kw:
-                kw = dict(self._lex_kw)
-                if self._lm_table is not None:
-                    kw.update(lm_table=self._lm_table,
-                              lm_alpha=float(bc.lm_alpha),
-                              lm_beta=float(bc.lm_beta))
-                return beam_scan_collapsed(
-                    lp, fm, beam_width=bc.beam_width, topk=bc.topk,
-                    prune_logp=float(bc.prune_logp), **kw,
-                )
-            return beam_scan_collapsed(
-                lp, fm, beam_width=bc.beam_width, topk=bc.topk,
-                prune_logp=float(bc.prune_logp), all_beams=self._beam_all,
-            )
+            return _beam_tail(lp, fm)
 
         self._eval_raw = _jit(_forward_raw, 4)
         self._eval_raw_greedy = _jit(_raw_greedy, 4)
@@ -574,9 +579,9 @@ class OcrService:
         """Host-side decode of a dispatched batch -> n uxxxx hypotheses."""
         kind, data = handle
         if kind == "beam_fused":
-            # (totals, packed [B, T+1]) — winner selected by the FUSED
-            # score on device; same wire as greedy, same finalize
-            _, data = data
+            # packed [B, T+1] — winner selected by the FUSED score on
+            # device; same wire as greedy, same finalize (the totals
+            # array never leaves the device)
             kind = "greedy"
         if kind == "greedy":
             packed = np.asarray(data)  # [B, T+1]: id rows + score column
