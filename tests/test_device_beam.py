@@ -503,6 +503,66 @@ class TestDeviceWordLM:
                       word_table=jnp.zeros((3, 2)))
 
 
+class TestNoBoundaryFallback:
+    """Pin the DOCUMENTED device/host divergence in the lexicon
+    no-boundary fallback (device_beam.beam_scan_collapsed docstring):
+    when NO beam ends at a word boundary, the device selects among
+    mid-word finals WITHOUT scoring the trailing partial word (word_ids
+    is -1 mid-word), while the host oracle's final_score still queries
+    the word LM for the partial. This test constructs that pathological
+    case and asserts the chosen device behavior so it cannot drift
+    silently; docs/decoding.md records the divergence."""
+
+    def test_device_ranks_by_ctc_host_scores_trailing_partial(self):
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import (
+            dense_word_logp_table,
+            train_char_lm,
+        )
+
+        al = Alphabet.build([utf8_to_uxxxx("abc ")])
+        a = al.index_of(utf8_to_uxxxx("a"))
+        c = al.index_of(utf8_to_uxxxx("c"))
+        # Both lexicon words are 2 chars; a 1-frame line ends every beam
+        # mid-word, so no boundary-ending beam exists.
+        lex = Lexicon.from_words(al, ["ab", "cb"])
+        # The word LM knows "a" as a frequent standalone WORD (it is not
+        # a lexicon word, so the device's dense table cannot see it, but
+        # the host oracle's trailing-partial query can).
+        wlm = train_char_lm(["a"] * 60 + ["ab", "cb"], order=2)
+
+        T = 1
+        lp = np.full((1, T, al.num_classes), -7.0, np.float32)
+        lp[0, 0, c] = -0.3  # CTC prefers "c"
+        lp[0, 0, a] = -0.5
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        mask = np.ones((1, T), bool)
+
+        cfg = BeamConfig(beam_width=2, topk=2, prune_logp=-12.0,
+                         word_lm_alpha=3.0, word_lm_beta=0.0)
+        nt, bd = lex.dense_tables()
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=2, topk=2,
+            prune_logp=-12.0,
+            lex_next=jnp.asarray(nt), lex_boundary=jnp.asarray(bd),
+            word_table=jnp.asarray(dense_word_logp_table(wlm, lex.words)),
+            word_ids=jnp.asarray(lex.word_id_table()),
+            space_id=lex.space_id, word_alpha=3.0, word_beta=0.0,
+        )
+        row = np.asarray(packed)[0, :-1]
+        got = al.decode(row[row != 0].tolist())
+        # Pinned device behavior: ungated fallback, trailing partial
+        # UNSCORED -> pure CTC ranking picks "c".
+        assert got == utf8_to_uxxxx("c")
+        # The host oracle scores the trailing partial ("a" is a likely
+        # word under the LM) and flips the winner — the divergence this
+        # test documents. If this assertion ever fails the two engines
+        # have converged and the docstrings should be updated.
+        hyps = prefix_beam_search(lp[0], al, cfg, lexicon=lex, word_lm=wlm)
+        assert hyps[0][0] == utf8_to_uxxxx("a")
+
+
 class TestFullStackParity:
     """All three fusions at once — char trigram + lexicon trie + word
     bigram — device vs host oracle, string-exact (the triple combination
