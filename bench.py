@@ -24,6 +24,25 @@ import time
 
 NOMINAL_REFERENCE_LINES_PER_SEC = 1000.0
 
+# Recorded bands: the UNION of fenced runs (builder sessions + the
+# driver's BENCH_r0N.json) — relay transfer variance is real, so the
+# honest quote is the whole band, including the driver-recorded lows
+# (greedy 2211, L.G 1377 in BENCH_r03.json). Each service metric prints
+# where the current run landed so drift is visible run-over-run.
+RECORDED_BANDS = {
+    "service greedy": (2211, 3318),
+    "service beam (device)": (2200, 2580),
+    "service beam+LM (fused)": (1420, 1516),
+    "service beam+lexicon+wordLM": (1377, 1624),
+}
+
+
+def _band_note(name: str, value: float) -> str:
+    lo, hi = RECORDED_BANDS[name]
+    where = ("in" if lo <= value <= hi else
+             "BELOW" if value < lo else "ABOVE")
+    return f"{where} recorded band {lo}-{hi}"
+
 BENCH_DATA = os.environ.get("BENCH_DATA_DIR", "/tmp/vistaocr_bench_data_16k")
 TIMED_STEPS = int(os.environ.get("BENCH_STEPS", "100"))
 WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP", "10"))
@@ -272,7 +291,8 @@ def main():
         res = svc.ocr_lines(imgs)
         svc_lps = len(res) / (time.time() - t0) / n_chips
         svc.close()
-        _log(f"service greedy: {svc_lps:.0f} lines/s/chip")
+        _log(f"service greedy: {svc_lps:.0f} lines/s/chip "
+             f"({_band_note('service greedy', svc_lps)})")
 
         # Beam service: the vectorized on-device engine (default). Round 2's
         # host C++ engine measured 150 lines/s/chip on a 256-line subset;
@@ -286,7 +306,8 @@ def main():
         res = svc_b.ocr_lines(imgs)
         svc_beam_lps = len(res) / (time.time() - t0) / n_chips
         svc_b.close()
-        _log(f"service beam (device): {svc_beam_lps:.0f} lines/s/chip")
+        _log(f"service beam (device): {svc_beam_lps:.0f} lines/s/chip "
+             f"({_band_note('service beam (device)', svc_beam_lps)})")
 
         # Beam + LM service, both fusion modes: interleaved on-device
         # (dense order-3 table inside the search) vs two-pass host
@@ -313,7 +334,9 @@ def main():
                 svc_lm_fused_lps = lps
             else:
                 svc_lm_2pass_lps = lps
-            _log(f"service beam+LM ({name}): {lps:.0f} lines/s/chip")
+            note = (f" ({_band_note('service beam+LM (fused)', lps)})"
+                    if dev_lm else "")
+            _log(f"service beam+LM ({name}): {lps:.0f} lines/s/chip{note}")
 
         # Full constrained stack: device beam + lexicon trie + word
         # bigram fused in one program (the L∘G decode on device).
@@ -339,7 +362,8 @@ def main():
         svc_lg_lps = len(res) / (time.time() - t0) / n_chips
         svc_lg.close()
         _log(f"service beam+lexicon+wordLM (L.G fused): "
-             f"{svc_lg_lps:.0f} lines/s/chip")
+             f"{svc_lg_lps:.0f} lines/s/chip "
+             f"({_band_note('service beam+lexicon+wordLM', svc_lg_lps)})")
 
     # Online latency-shaped path (submit() futures + max_wait batching):
     # N concurrent submitters drive the queues; report lines/s + p50/p99
