@@ -171,6 +171,29 @@ class TestDataParallel:
         for a, b in zip(flat_s, flat_d):
             np.testing.assert_allclose(a, b, atol=3e-3, rtol=2e-2)
 
+    def test_dp_fit_converges_like_single_device(self, synth_dir, tmp_path,
+                                                 eight_devices):
+        """fit() driven end-to-end through an 8-device DP mesh must
+        CONVERGE, not just run one step (VERDICT r3 task 3a): same config
+        + seed on a 1-device and an 8-device mesh, both trained to the
+        smoke budget, final val CERs must both collapse and agree.
+        Trajectories are not bit-identical (cross-device reduction
+        order), so the gate is on the converged metric."""
+        results = {}
+        for name, n in (("single", 1), ("dp8", 8)):
+            mesh = make_mesh(MeshConfig(data=n, model=1),
+                             devices=eight_devices[:n])
+            cfg = _smoke_config(
+                synth_dir, str(tmp_path / f"fit_{name}"), max_steps=250,
+            )
+            results[name] = fit(cfg, mesh=mesh, log=lambda *a: None)
+        cer_s = results["single"]["best_cer"]
+        cer_d = results["dp8"]["best_cer"]
+        assert cer_s is not None and cer_d is not None
+        assert cer_s < 0.05, f"single-device fit did not converge: {cer_s}"
+        assert cer_d < 0.05, f"8-device DP fit did not converge: {cer_d}"
+        assert abs(cer_s - cer_d) <= 0.03, (cer_s, cer_d)
+
 
 class TestTensorParallel:
     def test_tp_matches_replicated(self, synth_dir, eight_devices):
