@@ -38,6 +38,8 @@ RECORDED_BANDS = {
 
 
 def _band_note(name: str, value: float) -> str:
+    if name not in RECORDED_BANDS:
+        return "no recorded band yet"
     lo, hi = RECORDED_BANDS[name]
     where = ("in" if lo <= value <= hi else
              "BELOW" if value < lo else "ABOVE")
@@ -267,6 +269,7 @@ def main():
     # strings, so no extra fencing is needed. BENCH_SERVICE=0 skips.
     svc_lps = svc_beam_lps = 0.0
     svc_lm_fused_lps = svc_lm_2pass_lps = svc_lg_lps = 0.0
+    svc_lm4_fused_lps = 0.0
     if os.environ.get("BENCH_SERVICE", "1") == "1":
         import tempfile
 
@@ -337,6 +340,28 @@ def main():
             note = (f" ({_band_note('service beam+LM (fused)', lps)})"
                     if dev_lm else "")
             _log(f"service beam+LM ({name}): {lps:.0f} lines/s/chip{note}")
+
+        # Beam + 4-gram LM, fused via the hashed context table
+        # (decode/lm.hashed_logp_table) — the quality-recommended order
+        # previously fell off the 4.4x two-pass cliff (345 vs 1516 in
+        # BENCH_r03); the hashed path keeps it interleaved on device.
+        lm4_path = os.path.join(snap, "bench_lm4.arpa")
+        train_char_lm(
+            [val.transcript(i) for i in range(len(val))], order=4
+        ).write_arpa(lm4_path)
+        svc_l4 = OcrService(snap, ServiceConfig(
+            max_batch=128, max_wait_ms=2.0, decoder="beam",
+            lm_path=lm4_path, beam=bc,
+        ))
+        assert svc_l4._lm_hash_kw, "4-gram service did not take the hashed path"
+        svc_l4.ocr_lines(imgs)  # untimed warm pass
+        t0 = time.time()
+        res = svc_l4.ocr_lines(imgs)
+        svc_lm4_fused_lps = len(res) / (time.time() - t0) / n_chips
+        svc_l4.close()
+        _log(f"service beam+4gramLM (hash-fused): "
+             f"{svc_lm4_fused_lps:.0f} lines/s/chip "
+             f"({_band_note('service beam+4gramLM (fused)', svc_lm4_fused_lps)})")
 
         # Full constrained stack: device beam + lexicon trie + word
         # bigram fused in one program (the L∘G decode on device).
@@ -422,6 +447,8 @@ def main():
                 svc_lm_fused_lps, 1),
             "service_beam_lm_2pass_lines_per_sec_per_chip": round(
                 svc_lm_2pass_lps, 1),
+            "service_beam_lm4_fused_lines_per_sec_per_chip": round(
+                svc_lm4_fused_lps, 1),
             "service_beam_lexicon_wordlm_lines_per_sec_per_chip": round(
                 svc_lg_lps, 1),
             "chips": n_chips,

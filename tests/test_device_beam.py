@@ -618,3 +618,247 @@ class TestFullStackParity:
                 word_lm=wlm)
             row = packed[b, :-1]
             assert al.decode(row[row != 0].tolist()) == hyps[0][0]
+
+
+class TestConstrainedNBest:
+    """--nbest composes with the fused LM/lexicon stack on device
+    (VERDICT r3 task 8): the all-beams fused scan returns per-slot FUSED
+    finals, and the host n-best expansion over them must reproduce the
+    host oracle's ranked list (same beams, same scores, same order)."""
+
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_fused_nbest_matches_oracle_list(self, seed):
+        from vistaocr_tpu.decode.device_beam import (
+            beam_scan_collapsed,
+            device_beam_nbest,
+        )
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import (
+            dense_logp_table,
+            dense_word_logp_table,
+            train_char_lm,
+        )
+
+        rng = np.random.default_rng(seed)
+        chars = "abcdef"
+        al = Alphabet.build([utf8_to_uxxxx(chars + " ")])
+        K = al.num_classes
+        B, T, W, k = 4, 40, 8, 4
+        logits = rng.normal(0, 2.5, (B, T, K)).astype(np.float32)
+        logits[..., 0] += 1.5
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+              ).astype(np.float32)
+        frames = rng.integers(10, T + 1, B).astype(np.int32)
+        mask = np.arange(T)[None, :] < frames[:, None]
+        words = sorted({
+            "".join(rng.choice(list(chars), rng.integers(1, 5)))
+            for _ in range(15)
+        })
+        lex = Lexicon.from_words(al, words)
+        corpus = [" ".join(rng.choice(words, 3)) for _ in range(100)]
+        wlm = train_char_lm(corpus, order=2)
+        clm = train_char_lm([utf8_to_uxxxx(s) for s in corpus], order=3)
+        cfg = BeamConfig(beam_width=W, topk=k, prune_logp=-12.0,
+                         lm_alpha=0.5, lm_beta=0.2,
+                         word_lm_alpha=0.7, word_lm_beta=0.3)
+        nt, bd = lex.dense_tables()
+        pre = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=W, topk=k,
+            prune_logp=-12.0, all_beams=True,
+            lm_table=jnp.asarray(dense_logp_table(clm, al, order=3)),
+            lm_alpha=0.5, lm_beta=0.2,
+            lex_next=jnp.asarray(nt), lex_boundary=jnp.asarray(bd),
+            word_table=jnp.asarray(dense_word_logp_table(wlm, lex.words)),
+            word_ids=jnp.asarray(lex.word_id_table()),
+            space_id=lex.space_id, word_alpha=0.7, word_beta=0.3,
+        )
+        assert len(pre) == 3  # (totals, fused, emitted)
+        lists = device_beam_nbest(al, cfg, pre, nbest=5)
+        assert len(lists) == B
+        for b in range(B):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg, lm=clm, lexicon=lex,
+                word_lm=wlm)[:5]
+            got = lists[b]
+            assert [h for h, _ in got] == [h for h, _ in hyps], (
+                b, got, hyps)
+            for (_, sg), (_, sh) in zip(got, hyps):
+                assert abs(sg - sh) < 1e-3, (b, got, hyps)
+            # ranked descending
+            scores = [s for _, s in got]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_fused_nbest_top1_matches_packed_best(self):
+        from vistaocr_tpu.decode.device_beam import (
+            beam_scan_collapsed,
+            device_beam_nbest,
+        )
+        from vistaocr_tpu.decode.lm import dense_logp_table, train_char_lm
+
+        lp, mask, frames = _random_case(21, K=7, peaky=True)
+        al = _alphabet(6)
+        rng = np.random.default_rng(99)
+        texts = ["".join(rng.choice(list("abcdef"), rng.integers(3, 10)))
+                 for _ in range(50)]
+        clm = train_char_lm([utf8_to_uxxxx(t) for t in texts], order=3)
+        tbl = jnp.asarray(dense_logp_table(clm, al, order=3))
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                         lm_alpha=0.6, lm_beta=0.2)
+        pre = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0, all_beams=True, lm_table=tbl,
+            lm_alpha=0.6, lm_beta=0.2,
+        )
+        lists = device_beam_nbest(al, cfg, pre, nbest=3)
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0, lm_table=tbl, lm_alpha=0.6, lm_beta=0.2,
+        )
+        packed = np.asarray(packed)
+        for b in range(lp.shape[0]):
+            row = packed[b, :-1]
+            best = al.decode(row[row != 0].tolist())
+            assert lists[b][0][0] == best
+
+
+class TestHashedOrder4LM:
+    """Order-4 char-LM fusion via the hashed context table
+    (decode/lm.hashed_logp_table) — VERDICT r3 task 2 closes the 4-gram
+    device-fusion cliff. Hits resolve through the open-addressed table,
+    misses and short histories through the exact trigram fallback, so
+    the device must stay string-exact vs the host oracle driving the
+    same 4-gram ArpaLM."""
+
+    def _lm_and_alphabet(self, seed, with_space=False):
+        from vistaocr_tpu.decode.lm import train_char_lm
+
+        chars = "abcdef"
+        al = Alphabet.build(
+            [utf8_to_uxxxx(chars + (" " if with_space else ""))])
+        rng = np.random.default_rng(seed + 77)
+        texts = [
+            "".join(rng.choice(list(chars), rng.integers(3, 12)))
+            for _ in range(60)
+        ]
+        lm = train_char_lm([utf8_to_uxxxx(t) for t in texts], order=4)
+        return al, lm, rng
+
+    def test_table_resolution_matches_lm_logp(self):
+        """Host-side replay of the device lookup (hash probe else
+        trigram fallback) against lm.logp for every reachable context
+        shape: short, <s>-rooted, observed, unobserved."""
+        from vistaocr_tpu.decode.lm import hashed_logp_table
+
+        al, lm, rng = self._lm_and_alphabet(0)
+        K = al.num_classes
+        tabs = hashed_logp_table(lm, al)
+        keys, vals, rows, t3 = (tabs["keys"], tabs["vals"], tabs["rows"],
+                                tabs["t3"])
+        S = keys.shape[0]
+        shift = 32 - (S.bit_length() - 1)
+        toks = [None] + al.tokens
+
+        def lookup(h1, h2, h3, c):
+            key = (h1 * (K + 1) + h2) * (K + 1) + h3
+            idx = ((key * 2654435761) & 0xFFFFFFFF) >> shift
+            for j in range(tabs["probes"]):
+                s = (idx + j) & (S - 1)
+                if keys[s] == key:
+                    return float(rows[vals[s], c])
+            return float(t3[h2, h3, c])
+
+        cases = [(0, 0, K), (0, K, 1), (K, 1, 2)]
+        for _ in range(40):
+            cases.append(tuple(int(x) for x in rng.integers(1, K, 3)))
+        for h1, h2, h3 in cases:
+            hist = tuple(
+                ("<s>" if i == K else toks[i]) for i in (h1, h2, h3)
+                if i != 0
+            )
+            for c in range(1, K):
+                want = lm.logp(hist, toks[c])
+                got = lookup(h1, h2, h3, c)
+                assert abs(got - want) < 1e-5, ((h1, h2, h3), c, got, want)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_matches_host_4gram_oracle(self, seed):
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lm import hashed_logp_table
+
+        lp, mask, frames = _random_case(seed, K=7, peaky=True)
+        al, lm, _ = self._lm_and_alphabet(seed)
+        assert al.num_classes == lp.shape[-1]
+        tabs = hashed_logp_table(lm, al)
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                         lm_alpha=0.7, lm_beta=0.25)
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0,
+            lm_table=jnp.asarray(tabs["t3"]), lm_alpha=0.7, lm_beta=0.25,
+            lm_hash_keys=jnp.asarray(tabs["keys"]),
+            lm_hash_vals=jnp.asarray(tabs["vals"]),
+            lm_rows=jnp.asarray(tabs["rows"]), lm_probes=tabs["probes"],
+        )
+        packed = np.asarray(packed)
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(lp[b, : frames[b]], al, cfg, lm=lm)
+            row = packed[b, :-1]
+            got = al.decode(row[row != 0].tolist())
+            assert got == hyps[0][0], (b, got, hyps[:3])
+
+    @pytest.mark.parametrize("seed", [9, 23])
+    def test_quadruple_fusion_matches_oracle(self, seed):
+        """4-gram char LM + lexicon + word bigram, all inside one scan:
+        the order-4 context carry must compose with the trie and word
+        state exactly as the host oracle does."""
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import (
+            dense_word_logp_table,
+            hashed_logp_table,
+            train_char_lm,
+        )
+
+        rng = np.random.default_rng(seed)
+        chars = "abcdef"
+        al = Alphabet.build([utf8_to_uxxxx(chars + " ")])
+        K = al.num_classes
+        B, T, W, k = 4, 48, 8, 4
+        logits = rng.normal(0, 2.5, (B, T, K)).astype(np.float32)
+        logits[..., 0] += 1.5
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+              ).astype(np.float32)
+        frames = rng.integers(10, T + 1, B).astype(np.int32)
+        mask = np.arange(T)[None, :] < frames[:, None]
+        words = sorted({
+            "".join(rng.choice(list(chars), rng.integers(1, 5)))
+            for _ in range(15)
+        })
+        lex = Lexicon.from_words(al, words)
+        corpus = [" ".join(rng.choice(words, 3)) for _ in range(100)]
+        wlm = train_char_lm(corpus, order=2)
+        clm = train_char_lm([utf8_to_uxxxx(s) for s in corpus], order=4)
+        tabs = hashed_logp_table(clm, al)
+        cfg = BeamConfig(beam_width=W, topk=k, prune_logp=-12.0,
+                         lm_alpha=0.5, lm_beta=0.2,
+                         word_lm_alpha=0.7, word_lm_beta=0.3)
+        nt, bd = lex.dense_tables()
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=W, topk=k,
+            prune_logp=-12.0,
+            lm_table=jnp.asarray(tabs["t3"]), lm_alpha=0.5, lm_beta=0.2,
+            lm_hash_keys=jnp.asarray(tabs["keys"]),
+            lm_hash_vals=jnp.asarray(tabs["vals"]),
+            lm_rows=jnp.asarray(tabs["rows"]), lm_probes=tabs["probes"],
+            lex_next=jnp.asarray(nt), lex_boundary=jnp.asarray(bd),
+            word_table=jnp.asarray(dense_word_logp_table(wlm, lex.words)),
+            word_ids=jnp.asarray(lex.word_id_table()),
+            space_id=lex.space_id, word_alpha=0.7, word_beta=0.3,
+        )
+        packed = np.asarray(packed)
+        for b in range(B):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg, lm=clm, lexicon=lex,
+                word_lm=wlm)
+            row = packed[b, :-1]
+            assert al.decode(row[row != 0].tolist()) == hyps[0][0]

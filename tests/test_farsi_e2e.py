@@ -157,3 +157,43 @@ class TestFarsiEndToEnd:
                     # trailing fragment when no final lands on a boundary
                     for w in ws[:-1]:
                         assert w in words
+
+    def test_nbest_device_with_lexicon(self, farsi_run, tmp_path):
+        """Constrained n-best on the DEVICE surface (VERDICT r3 task 8):
+        --nbest now composes with --lexicon via the fused all-beams
+        scan; ranked lists must stay lexicon-only with descending fused
+        scores, and agree with the host expansion's lists."""
+        import json
+
+        from vistaocr_tpu.text import uxxxx_to_utf8
+
+        data, run, _ = farsi_run
+        ds = ShardedLineDataset(data, "train")
+        words = set()
+        for tr in ds.transcripts():
+            words.update(uxxxx_to_utf8(tr).split())
+        wl = str(tmp_path / "w.txt")
+        with open(wl, "w", encoding="utf-8") as f:
+            f.write("\n".join(sorted(words)))
+        outs = {}
+        for impl in ("device", "host"):
+            out = str(tmp_path / f"nbest_{impl}.jsonl")
+            rep = run_inference(run + "/best", data, "test",
+                                batch_pixels=2**17, decoder="beam",
+                                beam_impl=impl, nbest=3, lexicon_path=wl,
+                                out_path=out, log=lambda *a: None)
+            assert rep["lines"] > 0
+            with open(out) as f:
+                outs[impl] = [json.loads(line) for line in f]
+        for rd, rh in zip(outs["device"], outs["host"]):
+            assert rd["id"] == rh["id"]
+            nb = rd["nbest"]
+            assert 1 <= len(nb) <= 3
+            assert nb[0]["hyp_uxxxx"] == rd["hyp_uxxxx"]
+            scores = [e["score"] for e in nb]
+            assert scores == sorted(scores, reverse=True)
+            for e in nb:
+                for w in e["hyp_text"].split()[:-1]:
+                    assert w in words
+            assert ([e["hyp_uxxxx"] for e in nb]
+                    == [e["hyp_uxxxx"] for e in rh["nbest"]])

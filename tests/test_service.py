@@ -346,6 +346,52 @@ class TestDeviceLMFusion:
             assert rd.uxxxx == rh.uxxxx
             assert rd.confidence is not None and 0 < rd.confidence <= 1.0
 
+    def test_fused_4gram_matches_host_interleaved(self, snapshot, tmp_path):
+        """Order-4 serving now fuses through the hashed context table
+        (VERDICT r3 task 2) instead of falling to the 4.4x-slower
+        two-pass; strings must match the host interleaved engine."""
+        snap, data = snapshot
+        lm_path = self._lm_path(data, tmp_path, order=4)
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=43,
+        )
+        imgs = [gen.sample(height=32, max_width=380)[0] for _ in range(8)]
+        from vistaocr_tpu.decode import BeamConfig
+        from vistaocr_tpu.decode.lm import ArpaLM
+
+        bc = BeamConfig(beam_width=8, topk=4, lm_alpha=0.5, lm_beta=0.2)
+        svc = OcrService(snap, ServiceConfig(
+            max_batch=8, warmup=False, decoder="beam", beam_impl="device",
+            lm_path=lm_path, beam=bc,
+        ))
+        try:
+            assert svc._lm_hash_kw  # hashed order-4 fusion active
+            assert not svc._beam_all  # no two-pass fallback
+            got = svc.ocr_lines(imgs)
+        finally:
+            svc.close()
+        # host oracle: python expansion with the same 4-gram ArpaLM
+        from vistaocr_tpu.checkpoint import load_model
+        from vistaocr_tpu.decode.beam import prefix_beam_search
+
+        model, variables, al, contract = load_model(snap)
+        lm = ArpaLM.read_arpa(lm_path)
+        import jax.numpy as jnp
+
+        for img, r in zip(imgs, got):
+            w = img.shape[1]
+            pad = np.full((32, 384), 255, np.uint8)
+            pad[:, :w] = img
+            lp, fm = model.apply(
+                variables, jnp.asarray(pad[None]),
+                jnp.asarray([w], jnp.int32), train=False)
+            T = int(np.asarray(fm).sum())
+            hyps = prefix_beam_search(
+                np.asarray(lp)[0, :T], al, bc, lm=lm)
+            assert r.uxxxx == hyps[0][0]
+
     def test_device_lm_false_uses_two_pass(self, snapshot, tmp_path):
         snap, data = snapshot
         lm_path = self._lm_path(data, tmp_path, order=3)

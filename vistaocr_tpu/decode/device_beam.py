@@ -84,6 +84,10 @@ def beam_scan(
     lm_table: Optional[jax.Array] = None,  # [K+1, K] or [K+1, K+1, K]
     lm_alpha: float = 0.0,
     lm_beta: float = 0.0,
+    lm_hash_keys: Optional[jax.Array] = None,  # [S] int32 (order-4 fusion)
+    lm_hash_vals: Optional[jax.Array] = None,  # [S] int32 row indices
+    lm_rows: Optional[jax.Array] = None,  # [R, K] f32 context rows
+    lm_probes: int = 0,  # static max probe length for the hash table
     lex_next: Optional[jax.Array] = None,  # [N, K] int32 trie transitions
     word_table: Optional[jax.Array] = None,  # [Vw+1, Vw] word-bigram logp
     word_ids: Optional[jax.Array] = None,  # [N] int32 word id at finals
@@ -129,6 +133,23 @@ def beam_scan(
     use_lm = lm_table is not None
     use_lex = lex_next is not None
     use_wlm = word_table is not None
+    # Order-4 fusion (decode/lm.hashed_logp_table): slots carry THREE
+    # context ids; observed 3-token contexts resolve through the hash
+    # table, everything else through the exact trigram fallback table.
+    use_lm4 = lm_hash_keys is not None
+    if use_lm4:
+        if not use_lm or lm_table.ndim != 3:
+            raise ValueError(
+                "order-4 hashed fusion needs the order-3 dense table as "
+                "lm_table (the fallback); pass hashed_logp_table()['t3']"
+            )
+        if lm_hash_vals is None or lm_rows is None or lm_probes < 1:
+            raise ValueError(
+                "order-4 fusion needs lm_hash_keys + lm_hash_vals + "
+                "lm_rows + lm_probes >= 1"
+            )
+        S_hash = lm_hash_keys.shape[0]
+        hash_shift = 32 - (S_hash.bit_length() - 1)
     if use_wlm:
         if not use_lex or word_ids is None or space_id < 0:
             raise ValueError(
@@ -168,8 +189,10 @@ def beam_scan(
     last_0 = jnp.full((B, W), -1, jnp.int32)
     p_b0 = jnp.broadcast_to(jnp.where(iota_w == 0, 0.0, neg), (B, W))
     p_nb0 = jnp.full((B, W), neg)
-    # LM context: (lmp, lml) = class ids of the two most recent emitted
-    # symbols (0 = none, K = <s>); start state is the oracle's (<s>,)
+    # LM context: (lmp2, lmp, lml) = class ids of the three most recent
+    # emitted symbols (0 = none, K = <s>); start state is the oracle's
+    # (<s>,). lmp2 rides along only when order-4 fusion is active.
+    lmp2_0 = jnp.zeros((B, W), jnp.int32)
     lmp_0 = jnp.zeros((B, W), jnp.int32)
     lml_0 = jnp.full((B, W), K, jnp.int32)
     bonus_0 = jnp.zeros((B, W), jnp.float32)
@@ -178,7 +201,7 @@ def beam_scan(
                        jnp.int32)  # <s>
 
     def body(carry, inp):
-        h1, h2, last, p_b, p_nb, lmp, lml, bonus, lex, wprev = carry
+        h1, h2, last, p_b, p_nb, lmp2, lmp, lml, bonus, lex, wprev = carry
         v, i, pb, m = inp  # [B,k] [B,k] [B] [B]
         p_tot = jnp.logaddexp(p_b, p_nb)  # [B, W]
         frame_best = jnp.maximum(v[:, 0], pb)  # [B]
@@ -207,6 +230,22 @@ def beam_scan(
                 rows = jnp.take(lm_flat, lmp * (K + 1) + lml, axis=0)
             else:
                 rows = jnp.take(lm_flat, lml, axis=0)  # [B, W, K]
+            if use_lm4:
+                # one probe sequence per SLOT (contexts live on slots,
+                # not candidates): packed key -> open-addressed lookup;
+                # misses (incl. short histories, whose keys are never
+                # stored) keep the exact trigram fallback row.
+                key = (lmp2 * (K + 1) + lmp) * (K + 1) + lml  # [B, W]
+                hh = key.astype(jnp.uint32) * jnp.uint32(2654435761)
+                idx = (hh >> hash_shift).astype(jnp.int32)
+                row = jnp.full((B, W), -1, jnp.int32)
+                for j in range(lm_probes):
+                    slot = (idx + j) & (S_hash - 1)
+                    kj = jnp.take(lm_hash_keys, slot)
+                    hit = (kj == key) & (row < 0)
+                    row = jnp.where(hit, jnp.take(lm_hash_vals, slot), row)
+                rows4 = jnp.take(lm_rows, jnp.maximum(row, 0), axis=0)
+                rows = jnp.where((row >= 0)[:, :, None], rows4, rows)
             q = jnp.take_along_axis(rows, c, axis=2)  # [B, W, k]
             ext_bonus = bonus[:, :, None] + alpha * q + beta
         if use_lex:
@@ -285,7 +324,8 @@ def beam_scan(
         n_pb, n_pnb = take(pool_pb), take(pool_pnb)
         n_parent, n_token = take(pool_parent), take(pool_token)
         if use_lm:
-            # stay keeps its context; extend shifts (lmp, lml) <- (lml, c)
+            # stay keeps its context; extend shifts
+            # (lmp2, lmp, lml) <- (lmp, lml, c)
             pool_lmp = jnp.concatenate(
                 [lmp, flat(jnp.broadcast_to(lml[:, :, None], (B, W, k)))],
                 axis=1)
@@ -293,8 +333,16 @@ def beam_scan(
             pool_bon = jnp.concatenate([bonus, flat(ext_bonus)], axis=1)
             n_lmp, n_lml = take(pool_lmp), take(pool_lml)
             n_bon = take(pool_bon)
+            if use_lm4:
+                pool_lmp2 = jnp.concatenate(
+                    [lmp2,
+                     flat(jnp.broadcast_to(lmp[:, :, None], (B, W, k)))],
+                    axis=1)
+                n_lmp2 = take(pool_lmp2)
+            else:
+                n_lmp2 = lmp2
         else:
-            n_lmp, n_lml, n_bon = lmp, lml, bonus
+            n_lmp2, n_lmp, n_lml, n_bon = lmp2, lmp, lml, bonus
         if use_lex:
             pool_lex = jnp.concatenate([lex, flat(nxt)], axis=1)
             n_lex = take(pool_lex)
@@ -320,6 +368,7 @@ def beam_scan(
         last = jnp.where(mw, n_last, last)
         p_b = jnp.where(mw, n_pb, p_b)
         p_nb = jnp.where(mw, n_pnb, p_nb)
+        lmp2 = jnp.where(mw, n_lmp2, lmp2)
         lmp = jnp.where(mw, n_lmp, lmp)
         lml = jnp.where(mw, n_lml, lml)
         bonus = jnp.where(mw, n_bon, bonus)
@@ -327,15 +376,15 @@ def beam_scan(
         wprev = jnp.where(mw, n_wprev, wprev)
         parent = jnp.where(mw, n_parent, jnp.broadcast_to(iota_w[None], (B, W)))
         token = jnp.where(mw, n_token, 0)
-        return (h1, h2, last, p_b, p_nb, lmp, lml, bonus, lex,
+        return (h1, h2, last, p_b, p_nb, lmp2, lmp, lml, bonus, lex,
                 wprev), (parent, token)
 
     carry, (parents, tokens) = jax.lax.scan(
-        body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp_0, lml_0, bonus_0,
-               lex_0, wprev_0),
+        body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp2_0, lmp_0, lml_0,
+               bonus_0, lex_0, wprev_0),
         (vals_t, ids_t, pblank_t, mask_t),
     )
-    _, _, _, p_b, p_nb, _, _, bonus, lex, wprev = carry
+    _, _, _, p_b, p_nb, _, _, _, bonus, lex, wprev = carry
     totals = jnp.logaddexp(p_b, p_nb)
     if use_lm or use_lex or use_wlm:
         extras = {}
@@ -356,13 +405,16 @@ def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float,
     if fused_lm:
         # takes lm_table and/or lex_next+lex_boundary (+ word tables) as
         # call-time kwargs; space_id gates Python-level branches in the
-        # trace and must stay static
+        # trace and must stay static. all_beams=True returns the fused
+        # per-slot finals for constrained n-best.
         return jax.jit(
             functools.partial(
                 beam_scan_collapsed, beam_width=beam_width, topk=topk,
                 prune_logp=prune_logp, lm_alpha=lm_alpha, lm_beta=lm_beta,
+                all_beams=all_beams,
             ),
-            static_argnames=("space_id", "word_alpha", "word_beta"),
+            static_argnames=("space_id", "word_alpha", "word_beta",
+                             "lm_probes"),
         )
     return jax.jit(functools.partial(
         beam_scan_collapsed, beam_width=beam_width, topk=topk,
@@ -430,6 +482,10 @@ def beam_scan_collapsed(
     lm_table: Optional[jax.Array] = None,
     lm_alpha: float = 0.0,
     lm_beta: float = 0.0,
+    lm_hash_keys: Optional[jax.Array] = None,
+    lm_hash_vals: Optional[jax.Array] = None,
+    lm_rows: Optional[jax.Array] = None,
+    lm_probes: int = 0,
     lex_next: Optional[jax.Array] = None,
     lex_boundary: Optional[jax.Array] = None,  # [N] bool, with lex_next
     word_table: Optional[jax.Array] = None,
@@ -441,9 +497,11 @@ def beam_scan_collapsed(
     """beam_scan + on-device backtrace. Returns (totals [B, W], emitted):
     emitted is [B, T] int32 for the BEST beam per line (token or 0 per
     frame — same wire format as greedy_frames, so the host collapse is
-    shared), or [B, W, T] when ``all_beams`` (two-pass LM rescoring needs
-    every final). Keeps the host<->device transfer tiny: the [T, B, W]
-    search trellis never leaves the device.
+    shared), or [B, W, T] when ``all_beams`` (two-pass LM rescoring and
+    n-best need every final; under fused LM/lexicon the return is the
+    3-tuple (totals, fused [B, W], emitted [B, W, T]) with per-slot
+    FUSED final scores). Keeps the host<->device transfer tiny: the
+    [T, B, W] search trellis never leaves the device.
 
     With ``lm_table``, the LM is fused in the search (see beam_scan) and
     the winner is selected by the FUSED score; emitted comes back PACKED
@@ -458,13 +516,12 @@ def beam_scan_collapsed(
     (word_ids is -1 mid-word) — reachable only when NO beam ends at a
     word boundary, i.e. pathological inputs."""
     if lm_table is not None or lex_next is not None:
-        if all_beams:
-            raise ValueError("all_beams is for two-pass rescoring; "
-                             "fused LM/lexicon select on device")
         totals, extras, parents, tokens = beam_scan(
             log_probs, frame_mask, beam_width=beam_width, topk=topk,
             prune_logp=prune_logp, lm_table=lm_table, lm_alpha=lm_alpha,
-            lm_beta=lm_beta, lex_next=lex_next, word_table=word_table,
+            lm_beta=lm_beta, lm_hash_keys=lm_hash_keys,
+            lm_hash_vals=lm_hash_vals, lm_rows=lm_rows,
+            lm_probes=lm_probes, lex_next=lex_next, word_table=word_table,
             word_ids=word_ids, space_id=space_id, word_alpha=word_alpha,
             word_beta=word_beta,
         )
@@ -490,6 +547,13 @@ def beam_scan_collapsed(
             gated = jnp.where(ok, fused, -jnp.inf)
             # a line with no boundary-ending beam falls back ungated
             fused = jnp.where(ok.any(axis=1)[:, None], gated, fused)
+        if all_beams:
+            # Constrained n-best: every slot's FUSED final score (LM
+            # bonus + trailing word + boundary gating already applied)
+            # plus its emitted rows — `--nbest` composes with the fused
+            # LM/lexicon stack on device (VERDICT r3 task 8). Returns a
+            # 3-tuple so callers can report both CTC and fused scores.
+            return totals, fused, jnp.transpose(emitted, (1, 2, 0))
         best = jnp.argmax(fused, axis=1)  # fused selection
         picked = jnp.take_along_axis(
             emitted, best[None, :, None], axis=2
@@ -537,18 +601,32 @@ def lm_prefix_logp(lm, alphabet: Alphabet, ids: Sequence[int]) -> float:
 def device_beam_nbest(
     alphabet: Alphabet,
     config: BeamConfig,
-    precomputed,  # (totals [B, W], emitted [B, W, T]) all-beams layout
+    precomputed,  # (totals, emitted [B,W,T]) or (totals, fused, emitted)
     lm=None,
     valid: Optional[np.ndarray] = None,
     nbest: int = 8,
 ) -> List[List[Tuple[str, float]]]:
     """N-best lists from an all-beams device search: per valid line, up
-    to ``nbest`` (uxxxx, score) ranked by the fused score (CTC + LM when
-    an LM is given — two-pass scoring of the W finals). The export
-    surface behind infer --nbest; the reference era's n-best/lattice
-    dump for downstream rescoring."""
-    use_lm = lm is not None and config.lm_alpha != 0.0
-    totals, emitted = precomputed
+    to ``nbest`` (uxxxx, score) ranked by the fused score. Two layouts:
+
+    - 2-tuple ``(totals, emitted)``: pure-CTC finals; with ``lm`` the W
+      finals are two-pass rescored host-side.
+    - 3-tuple ``(totals, fused, emitted)`` from a FUSED all-beams scan
+      (``beam_scan_collapsed(all_beams=True, lm_table=...)``): scores
+      are already final (interleaved LM + lexicon gating + trailing
+      word), so ``--nbest`` composes with the constrained device stack
+      and no host rescoring runs.
+
+    The export surface behind infer --nbest; the reference era's
+    n-best/lattice dump for downstream rescoring."""
+    if len(precomputed) == 3:
+        totals, fused, emitted = precomputed
+        rank_scores = np.asarray(fused)
+        use_lm = False  # scores already fused on device
+    else:
+        totals, emitted = precomputed
+        rank_scores = np.asarray(totals)
+        use_lm = lm is not None and config.lm_alpha != 0.0
     totals = np.asarray(totals)
     emitted = np.asarray(emitted)
     if emitted.ndim != 3:
@@ -559,9 +637,9 @@ def device_beam_nbest(
             continue
         ranked = []
         seen = set()
-        for w in np.argsort(-totals[b]):
-            ctc = float(totals[b, int(w)])
-            if ctc == -np.inf:
+        for w in np.argsort(-rank_scores[b]):
+            score = float(rank_scores[b, int(w)])
+            if score == -np.inf or float(totals[b, int(w)]) == -np.inf:
                 break
             row = emitted[b, int(w)]
             ids = row[row != 0].tolist()
@@ -569,7 +647,6 @@ def device_beam_nbest(
             if key in seen:  # distinct-prefix invariant, but be safe
                 continue
             seen.add(key)
-            score = ctc
             if use_lm:
                 score += (config.lm_alpha * lm_prefix_logp(lm, alphabet, ids)
                           + config.lm_beta * len(ids))

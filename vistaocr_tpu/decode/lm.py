@@ -183,6 +183,97 @@ def dense_logp_table(lm: "ArpaLM", alphabet, order: Optional[int] = None):
     return t
 
 
+def hashed_logp_table(lm: "ArpaLM", alphabet):
+    """Hashed context table for ON-DEVICE order-4 fusion — the dense
+    route stops at order 3 because a [K+1, K+1, K+1, K] table is
+    multi-GB for real alphabets, but an ARPA 4-gram only *observes* a
+    few tens of thousands of trigram contexts; everything else backs off
+    to the trigram distribution (Katz: unseen context => backoff weight
+    log 1 = 0). So the device needs just:
+
+    - ``t3``: the EXACT order-3 dense table (``dense_logp_table``) as the
+      universal fallback — correct for histories shorter than 3 tokens
+      and for unobserved 3-token contexts;
+    - ``rows [R, K]``: one fully-backoff-resolved row per OBSERVED
+      3-token context (trigram entries + 4-gram context prefixes), each
+      produced by ``lm.logp`` itself, so hits are exact too;
+    - ``keys/vals [S]``: an open-addressed (linear-probe, power-of-two,
+      load <= 0.5) int32 hash table mapping the packed context key
+      ``(h1*(K+1)+h2)*(K+1)+h3`` to its row; ``probes`` is the measured
+      max probe length, so the device probe loop is static.
+
+    Context ids use the dense-table encoding (0 = none, K = <s>, class
+    ids elsewhere). Keys with h1 = 0 (short history) are never stored,
+    so they can never hit — the device needs no special-casing. Returns
+    ``{"keys", "vals", "rows", "t3", "probes"}`` (numpy + int).
+    """
+    import numpy as np
+
+    if lm.order != 4:
+        raise ValueError(
+            f"hashed_logp_table is the order-4 device path (got order "
+            f"{lm.order}); use dense_logp_table for order <= 3"
+        )
+    K = alphabet.num_classes
+    if (K + 1) ** 3 >= 2 ** 31:
+        raise ValueError(
+            f"alphabet too large for packed int32 context keys "
+            f"({K + 1}^3 >= 2^31); use the host/two-pass path"
+        )
+    toks = [None] + alphabet.tokens
+    tok_id = {t: i for i, t in enumerate(alphabet.tokens, start=1)}
+    tok_id[BOS] = K
+
+    contexts = set()
+    for ng in lm.tables[2]:
+        contexts.add(ng)
+    for ng in lm.tables[3]:
+        contexts.add(ng[:3])
+    ctx_ids = []
+    for ctx in contexts:
+        ids = tuple(tok_id.get(t) for t in ctx)
+        if None in ids:
+            continue  # context uses tokens outside this alphabet (</s>, unk)
+        ctx_ids.append(ids)
+    ctx_ids.sort()
+
+    R = len(ctx_ids)
+    rows = np.zeros((max(R, 1), K), np.float32)
+    keys_list = np.zeros((R,), np.int64)
+    for r, (h1, h2, h3) in enumerate(ctx_ids):
+        hist = tuple(
+            BOS if i == K else toks[i] for i in (h1, h2, h3)
+        )
+        keys_list[r] = ((h1 * (K + 1)) + h2) * (K + 1) + h3
+        for c in range(1, K):
+            rows[r, c] = lm.logp(hist, toks[c])
+
+    S = 1
+    while S < max(2 * R, 8):
+        S *= 2
+    shift = 32 - S.bit_length() + 1  # S = 2**(bit_length-1)
+    keys = np.full((S,), -1, np.int32)
+    vals = np.zeros((S,), np.int32)
+    probes = 1
+    for r in range(R):
+        key = int(keys_list[r])
+        idx = ((key * 2654435761) & 0xFFFFFFFF) >> shift
+        d = 0
+        while keys[(idx + d) & (S - 1)] != -1:
+            d += 1
+        keys[(idx + d) & (S - 1)] = np.int32(key)
+        vals[(idx + d) & (S - 1)] = r
+        probes = max(probes, d + 1)
+
+    return {
+        "keys": keys,
+        "vals": vals,
+        "rows": rows,
+        "t3": dense_logp_table(lm, alphabet, order=3),
+        "probes": probes,
+    }
+
+
 def dense_word_logp_table(word_lm: "ArpaLM", words):
     """Densify a word-level ARPA LM (order <= 2, utf8 word tokens) for
     on-device fusion: ``t[h, w] = log P(words[w] | context h)`` with

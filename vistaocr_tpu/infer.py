@@ -281,11 +281,13 @@ def run_inference(
         from .decode.device_beam import beam_scan_program, device_beam_decode
 
         # Interleaved on-device LM fusion when the ARPA order is <= 3
-        # (decode/lm.dense_logp_table): exact oracle math inside the
-        # search, no host rescoring, greedy-shaped packed wire. Higher
-        # orders keep the two-pass rescoring path.
+        # (decode/lm.dense_logp_table) or exactly 4 (hashed context
+        # table, decode/lm.hashed_logp_table): exact oracle math inside
+        # the search, no host rescoring, greedy-shaped packed wire.
+        # Higher orders keep the two-pass rescoring path.
         lm_table = None
-        if nbest <= 1 and lm is not None and beam_config.lm_alpha != 0:
+        lm_hash_kw = {}
+        if lm is not None and beam_config.lm_alpha != 0:
             from .decode.lm import ArpaLM, dense_logp_table
 
             py_lm = (lm if isinstance(lm, ArpaLM)
@@ -294,20 +296,27 @@ def run_inference(
                 lm_table = jax.device_put(
                     np.asarray(dense_logp_table(py_lm, alphabet)))
                 lm_fusion = "device-interleaved"
+            elif py_lm.order == 4:
+                from .decode.lm import hashed_logp_table
+
+                tabs = hashed_logp_table(py_lm, alphabet)
+                lm_table = jax.device_put(np.asarray(tabs["t3"]))
+                lm_hash_kw = dict(
+                    lm_hash_keys=jax.device_put(tabs["keys"]),
+                    lm_hash_vals=jax.device_put(tabs["vals"]),
+                    lm_rows=jax.device_put(tabs["rows"]),
+                    lm_probes=int(tabs["probes"]),
+                )
+                lm_fusion = "device-interleaved-4gram"
         # On-device lexicon constraint (Lexicon.dense_tables) composes
         # with the fused LM; an order>3 LM + lexicon needs --beam-impl
         # host (two-pass rescoring cannot see the constraint).
         lex_kw = {}
         if lexicon is not None:
-            if nbest > 1:
-                raise ValueError(
-                    "--nbest with --lexicon runs in the host expansion: "
-                    "use --beam-impl host"
-                )
             if lm is not None and beam_config.lm_alpha != 0 \
                     and lm_table is None:
                 raise ValueError(
-                    "device lexicon decoding with an LM needs order <= 3 "
+                    "device lexicon decoding with an LM needs order <= 4 "
                     "(fused); use --beam-impl host for higher orders"
                 )
             next_tbl, boundary = lexicon.dense_tables()
@@ -327,7 +336,34 @@ def run_inference(
                     word_beta=float(beam_config.word_lm_beta),
                 )
                 lm_fusion = (lm_fusion or "") + "+device-word"
-        if lm_table is not None or lex_kw:
+        if (lm_table is not None or lex_kw) and nbest > 1:
+            # Constrained n-best ON DEVICE: the fused all-beams scan
+            # returns every slot's fused final (interleaved LM + lexicon
+            # gating + trailing word), so --nbest composes with
+            # --lexicon/--word-lm without the host expansion.
+            from .decode.device_beam import device_beam_nbest
+
+            fused_prog = beam_scan_program(beam_config, all_beams=True,
+                                           fused_lm=True)
+            fused_kw = dict(lex_kw)
+            if lm_table is not None:
+                fused_kw["lm_table"] = lm_table
+                fused_kw.update(lm_hash_kw)
+
+            def prog(lp, fm):
+                return fused_prog(lp, fm, **fused_kw)
+
+            def finalize(entry):
+                indices, valid, pre = entry
+                lists = device_beam_nbest(
+                    alphabet, beam_config, pre, valid=valid, nbest=nbest,
+                )
+                for ranked in lists:
+                    hyps.append(ranked[0][0] if ranked else "")
+                    confs.append(None)
+                    nbest_lists.append(ranked)
+                _collect_refs(indices, valid, ds, refs, ids)
+        elif lm_table is not None or lex_kw:
             from .decode.greedy import SCORE_SCALE as _SC
             from .decode.greedy import collapse_frames as _collapse
 
@@ -335,6 +371,7 @@ def run_inference(
             fused_kw = dict(lex_kw)
             if lm_table is not None:
                 fused_kw["lm_table"] = lm_table
+                fused_kw.update(lm_hash_kw)
 
             def prog(lp, fm):
                 # drop totals: fused finalize reads only the packed row,

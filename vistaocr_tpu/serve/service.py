@@ -298,19 +298,34 @@ class OcrService:
                     word_alpha=float(config.beam.word_lm_alpha),
                     word_beta=float(config.beam.word_lm_beta),
                 )
-        # densify an order-<=3 LM for interleaved on-device fusion
+        # densify an order-<=3 LM (or hash an order-4 one) for
+        # interleaved on-device fusion
         self._lm_table = None
+        self._lm_hash_kw = {}
         if want_lm and config.device_lm and config.beam_impl == "device":
-            from ..decode.lm import ArpaLM, dense_logp_table
+            from ..decode.lm import (
+                ArpaLM,
+                dense_logp_table,
+                hashed_logp_table,
+            )
 
             py_lm = ArpaLM.read_arpa(config.lm_path)
             if 2 <= py_lm.order <= 3:
                 self._lm_table = _put_table(
                     np.asarray(dense_logp_table(py_lm, self.alphabet)))
+            elif py_lm.order == 4:
+                tabs = hashed_logp_table(py_lm, self.alphabet)
+                self._lm_table = _put_table(np.asarray(tabs["t3"]))
+                self._lm_hash_kw = dict(
+                    lm_hash_keys=_put_table(tabs["keys"]),
+                    lm_hash_vals=_put_table(tabs["vals"]),
+                    lm_rows=_put_table(tabs["rows"]),
+                    lm_probes=int(tabs["probes"]),
+                )
         self._beam_all = want_lm and self._lm_table is None
         if self._lex_kw and want_lm and self._lm_table is None:
             raise ValueError(
-                "device lexicon serving with an LM needs order <= 3 "
+                "device lexicon serving with an LM needs order <= 4 "
                 "(fused); use beam_impl='host' for higher orders"
             )
 
@@ -324,7 +339,8 @@ class OcrService:
                 if self._lm_table is not None:
                     kw.update(lm_table=self._lm_table,
                               lm_alpha=float(bc.lm_alpha),
-                              lm_beta=float(bc.lm_beta))
+                              lm_beta=float(bc.lm_beta),
+                              **self._lm_hash_kw)
                 _, packed = beam_scan_collapsed(
                     lp, fm, beam_width=bc.beam_width, topk=bc.topk,
                     prune_logp=float(bc.prune_logp), **kw,
