@@ -620,6 +620,115 @@ class TestFullStackParity:
             assert al.decode(row[row != 0].tolist()) == hyps[0][0]
 
 
+class TestUnkBypass:
+    """The lexicon character-bypass escape (<unk> loop) — VERDICT r3
+    task 1's mitigation: out-of-lexicon words decode with a per-char
+    penalty instead of being forced onto a wrong in-vocab word. Device
+    (dense tables + appended unk row) vs host oracle, string-exact."""
+
+    def _alphabet_sp(self, chars="abcdef"):
+        return Alphabet.build([utf8_to_uxxxx(chars + " ")])
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("with_wlm", [False, True])
+    def test_matches_host_oracle(self, seed, with_wlm):
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import (
+            dense_word_logp_table,
+            train_char_lm,
+            word_unk_logp,
+        )
+
+        rng = np.random.default_rng(seed + 400)
+        al = self._alphabet_sp()
+        K = al.num_classes
+        B, T = 5, 30
+        logits = rng.normal(0, 2.5, (B, T, K)).astype(np.float32)
+        logits[..., 0] += 1.5
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+              ).astype(np.float32)
+        frames = rng.integers(10, T + 1, B).astype(np.int32)
+        mask = np.arange(T)[None, :] < frames[:, None]
+        words = sorted({
+            "".join(rng.choice(list("abcdef"), rng.integers(1, 4)))
+            for _ in range(8)
+        })
+        lex = Lexicon.from_words(al, words)
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                         lex_unk_logp=-2.5)
+        kw = dict(space_id=lex.space_id)
+        wlm = None
+        if with_wlm:
+            wlm = train_char_lm(
+                [" ".join(rng.choice(words, 3)) for _ in range(60)],
+                order=2)
+            cfg.word_lm_alpha, cfg.word_lm_beta = 0.7, 0.3
+            kw.update(
+                word_table=jnp.asarray(
+                    dense_word_logp_table(wlm, lex.words)),
+                word_ids=jnp.asarray(lex.word_id_table(unk=True)),
+                word_alpha=0.7, word_beta=0.3,
+                word_unk_logp=word_unk_logp(wlm),
+            )
+        nt, bd = lex.dense_tables(unk=True)
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0, lex_next=jnp.asarray(nt),
+            lex_boundary=jnp.asarray(bd), lex_unk_logp=-2.5, **kw,
+        )
+        packed = np.asarray(packed)
+        for b in range(B):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg, lexicon=lex, word_lm=wlm)
+            row = packed[b, :-1]
+            got = al.decode(row[row != 0].tolist())
+            assert got == hyps[0][0], (b, got, hyps[:3])
+
+    def test_oov_word_recovered(self):
+        """Posteriors that clearly spell an out-of-lexicon word: the
+        HARD constraint must force a wrong in-vocab word; the bypass
+        must recover the true spelling (the OOV failure mode the
+        mitigation exists for)."""
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lexicon import Lexicon
+
+        al = self._alphabet_sp()
+        lex = Lexicon.from_words(al, ["bad", "cafe", "fed"])
+        # spell "dec" (not in the lexicon) very confidently
+        ids = [al.index_of(utf8_to_uxxxx(ch)) for ch in "dec"]
+        T, K = 7, al.num_classes
+        lp = np.full((1, T, K), -12.0, np.float32)
+        seq = [0, ids[0], 0, ids[1], 0, ids[2], 0]
+        for t, c in enumerate(seq):
+            lp[0, t, c] = -0.01
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        mask = np.ones((1, T), bool)
+
+        for unk_pen, expect_oov in ((0.0, False), (-2.5, True)):
+            nt, bd = lex.dense_tables(unk=unk_pen != 0.0)
+            _, packed = beam_scan_collapsed(
+                jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+                prune_logp=-20.0, lex_next=jnp.asarray(nt),
+                lex_boundary=jnp.asarray(bd), lex_unk_logp=unk_pen,
+                space_id=lex.space_id,
+            )
+            row = np.asarray(packed)[0, :-1]
+            got = al.decode(row[row != 0].tolist())
+            from vistaocr_tpu.text import uxxxx_to_utf8
+
+            text = uxxxx_to_utf8(got)
+            if expect_oov:
+                assert text == "dec", text
+            else:
+                assert text != "dec", text  # constraint forces in-vocab
+            # host oracle agrees in both modes
+            cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-20.0,
+                             lex_unk_logp=unk_pen)
+            hyps = prefix_beam_search(lp[0], al, cfg, lexicon=lex)
+            assert got == hyps[0][0]
+
+
 class TestConstrainedNBest:
     """--nbest composes with the fused LM/lexicon stack on device
     (VERDICT r3 task 8): the all-beams fused scan returns per-slot FUSED

@@ -210,3 +210,58 @@ class TestNativeConstrained:
             got = al.decode(all_ids[b])
             assert got == hyps[0][0], (b, got, hyps[:3])
             assert scores[b] == pytest.approx(hyps[0][1], abs=1e-6)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("with_wlm", [False, True])
+    def test_unk_bypass_matches_python_oracle(self, seed, with_wlm):
+        """Third engine of the <unk> character-bypass rule: the C++
+        search with the unk-row dense tables must stay string- and
+        score-exact vs the Python oracle."""
+        import numpy as np
+
+        from vistaocr_tpu.decode import native_binding as nb
+        from vistaocr_tpu.decode.beam import BeamConfig, prefix_beam_search
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import train_char_lm
+        from vistaocr_tpu.text import Alphabet, utf8_to_uxxxx
+
+        if not nb.available():
+            pytest.skip(f"native lib unavailable: {nb.build_error()}")
+        al = Alphabet.build([utf8_to_uxxxx("abcde ")])
+        lp, frames = self._case(seed + 50, K=al.num_classes, T=24)
+        rng = np.random.default_rng(seed + 57)
+        words = sorted({
+            "".join(rng.choice(list("abcde"), rng.integers(1, 4)))
+            for _ in range(8)
+        })
+        lex = Lexicon.from_words(al, words)
+        word_lm = None
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                         lex_unk_logp=-2.5)
+        if with_wlm:
+            word_lm = train_char_lm(
+                [" ".join(rng.choice(words, rng.integers(1, 4)))
+                 for _ in range(80)], order=2)
+            cfg.word_lm_alpha, cfg.word_lm_beta = 0.7, 0.2
+        k = min(cfg.topk, al.num_classes - 1)
+        ids = (np.argsort(-lp[:, :, 1:], axis=2)[:, :, :k] + 1).astype(
+            np.int32)
+        vals = np.take_along_axis(lp, ids, axis=2)
+        all_ids, scores = nb.beam_decode_batch_native(
+            lp, frames, ids, vals,
+            beam_width=cfg.beam_width, prune_logp=cfg.prune_logp,
+            max_out=lp.shape[1], lexicon=lex, word_lm=word_lm,
+            word_lm_alpha=cfg.word_lm_alpha,
+            word_lm_beta=cfg.word_lm_beta,
+            lex_unk_logp=cfg.lex_unk_logp,
+        )
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg,
+                topk_vals=vals[b, : frames[b]],
+                topk_ids=ids[b, : frames[b]],
+                lexicon=lex, word_lm=word_lm,
+            )
+            got = al.decode(all_ids[b])
+            assert got == hyps[0][0], (b, got, hyps[:3])
+            assert scores[b] == pytest.approx(hyps[0][1], abs=1e-6)

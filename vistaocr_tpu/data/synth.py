@@ -77,6 +77,43 @@ _AR_WORDS = (
 
 WORD_LISTS = {"en": _EN_WORDS, "fa": _FA_WORDS, "ar": _AR_WORDS}
 
+# Punctuation attachable by sample_text (DejaVu covers all of these).
+_PUNCT_TRAIL = [",", ".", ";", ":", "!", "?"]
+_PUNCT_WRAP = [("'", "'"), ('"', '"'), ("(", ")")]
+
+
+def make_vocabulary(n: int = 4000, seed: int = 0):
+    """Deterministic pseudo-English vocabulary for the open-vocabulary
+    quality regime (VERDICT r3: every earlier corpus drew from a closed
+    ~143-word list). The first entries are the built-in high-frequency
+    function words; the rest are syllable-model content words (onset +
+    nucleus [+ coda], 1-3 syllables), deduplicated, same a-z charset.
+    Everything derives from the seed, so train/lexicon/OOV splits are
+    reproducible artifacts."""
+    rng = np.random.default_rng(seed)
+    onsets = ("", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "n",
+              "p", "r", "s", "t", "v", "w", "z", "br", "ch", "cl", "cr",
+              "dr", "fl", "fr", "gr", "pl", "pr", "qu", "sh", "sl", "sp",
+              "st", "str", "th", "tr", "wh")
+    nuclei = ("a", "e", "i", "o", "u", "ai", "ea", "ee", "io", "ou", "oo")
+    codas = ("", "b", "ck", "d", "f", "g", "l", "ll", "m", "n", "nd",
+             "ng", "nt", "p", "r", "rd", "rk", "s", "ss", "st", "t", "x")
+    words = list(dict.fromkeys(_EN_WORDS))
+    seen = set(words)
+    while len(words) < n:
+        n_syll = int(rng.integers(1, 4))
+        parts = []
+        for s in range(n_syll):
+            parts.append(onsets[int(rng.integers(len(onsets)))])
+            parts.append(nuclei[int(rng.integers(len(nuclei)))])
+            if s == n_syll - 1 or rng.uniform() < 0.3:
+                parts.append(codas[int(rng.integers(len(codas)))])
+        w = "".join(parts)
+        if len(w) >= 2 and w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words[:n]
+
 
 @dataclass
 class SynthConfig:
@@ -96,6 +133,12 @@ class SynthConfig:
     shear_max: float = 0.0  # horizontal slant: x' = x + s*y, s ~ U[-max,max]
     elastic_alpha: float = 0.0  # grid-warp displacement amplitude (px)
     stroke_jitter: float = 0.0  # prob of 3x3 min/max filter (thicken/thin)
+    # Open-vocabulary text shaping (VERDICT r3: the hard-regime corpora).
+    zipf: bool = False  # Zipf-Mandelbrot word frequencies over `words`
+    digit_prob: float = 0.0  # per-token prob of a numeric token instead
+    punct_prob: float = 0.0  # per-token prob of attached punctuation
+    oov_words: Optional[Sequence[str]] = None  # held-out vocabulary
+    oov_rate: float = 0.0  # per-token prob of drawing from oov_words
     fonts: Sequence[str] = field(default_factory=_find_fonts)
 
 
@@ -110,6 +153,26 @@ HANDWRITING_DEGRADATIONS = dict(
     blur_prob=0.3,
     min_words=3,
     max_words=10,
+)
+
+# The HARD open-vocabulary regime (VERDICT r3 next-round task 1): heavier
+# degradations than the handwriting preset + Zipfian draws from a
+# thousands-word vocabulary + digits/punctuation, tuned so a
+# budget-limited training run lands in the literature's 3-10% test-CER
+# band (BASELINE.md row 5) instead of the closed-list ~0% regime. Pair
+# with `words=make_vocabulary(...)`.
+OPEN_VOCAB_HARD = dict(
+    shear_max=0.45,
+    elastic_alpha=3.5,
+    stroke_jitter=0.7,
+    rotate_max_deg=2.0,
+    noise=0.08,
+    blur_prob=0.6,
+    min_words=3,
+    max_words=10,
+    zipf=True,
+    digit_prob=0.08,
+    punct_prob=0.20,
 )
 
 
@@ -135,6 +198,14 @@ class SyntheticLineGenerator:
         self.config = config
         self.rng = np.random.default_rng(seed)
         self._fonts_cache = {}
+        self._zipf_cdf = None
+        if config.zipf:
+            words = config.words if config.words else WORD_LISTS.get(
+                config.language, _EN_WORDS)
+            # Zipf-Mandelbrot: p(rank) ∝ 1/(rank + 2.7); list order is
+            # rank order (make_vocabulary puts function words first)
+            w = 1.0 / (np.arange(len(words)) + 2.7)
+            self._zipf_cdf = np.cumsum(w / w.sum())
 
     def _font(self, path: str, size: int) -> ImageFont.FreeTypeFont:
         key = (path, size)
@@ -165,7 +236,25 @@ class SyntheticLineGenerator:
             return text if text else "a"
         words = cfg.words if cfg.words else WORD_LISTS[cfg.language]
         n = int(rng.integers(cfg.min_words, cfg.max_words + 1))
-        picks = [words[int(i)] for i in rng.integers(0, len(words), n)]
+        picks = []
+        for _ in range(n):
+            if cfg.oov_rate > 0 and cfg.oov_words and (
+                    rng.uniform() < cfg.oov_rate):
+                w = cfg.oov_words[int(rng.integers(len(cfg.oov_words)))]
+            elif cfg.digit_prob > 0 and rng.uniform() < cfg.digit_prob:
+                w = str(int(rng.integers(0, 10 ** int(rng.integers(1, 5)))))
+            elif self._zipf_cdf is not None:
+                w = words[int(np.searchsorted(self._zipf_cdf, rng.uniform()))]
+            else:
+                w = words[int(rng.integers(0, len(words)))]
+            if cfg.punct_prob > 0 and rng.uniform() < cfg.punct_prob:
+                if rng.uniform() < 0.25:
+                    a, b = _PUNCT_WRAP[int(rng.integers(len(_PUNCT_WRAP)))]
+                    w = a + w + b
+                else:
+                    w = w + _PUNCT_TRAIL[int(
+                        rng.integers(len(_PUNCT_TRAIL)))]
+            picks.append(w)
         return " ".join(picks)
 
     def render(self, text: str, height: int, max_width: Optional[int] = None) -> np.ndarray:

@@ -53,6 +53,15 @@ class BeamConfig:
     prune_logp: float = -12.0  # drop frame candidates below best-this-frame + this
     word_lm_alpha: float = 0.0  # word-LM weight (host expansion only)
     word_lm_beta: float = 0.0  # per-WORD insertion bonus
+    # Lexicon character-bypass (<unk> escape): per-character log penalty
+    # for out-of-lexicon words. 0.0 keeps the HARD constraint; a negative
+    # value (e.g. -4) lets the search spell words the lexicon lacks,
+    # paying this per char — the union-FST "(lexicon words) ∪ (penalized
+    # char loop)" semantics, max-parse determinized: a word follows the
+    # trie for free while it can, and retroactively becomes an unk parse
+    # (penalty x chars-so-far) the moment it falls off. See
+    # docs/decoding.md "Open vocabulary".
+    lex_unk_logp: float = 0.0
 
 
 def beam_topk(log_probs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -69,10 +78,12 @@ def beam_topk(log_probs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
 
 class _Beam:
     __slots__ = ("p_b", "p_nb", "lm_state", "lm_logp", "lex_node",
-                 "wlm_state", "wlm_logp", "wlm_words")
+                 "wlm_state", "wlm_logp", "wlm_words", "lex_bonus",
+                 "lex_wlen")
 
     def __init__(self, p_b=NEG_INF, p_nb=NEG_INF, lm_state=(), lm_logp=0.0,
-                 lex_node=0, wlm_state=(), wlm_logp=0.0, wlm_words=0):
+                 lex_node=0, wlm_state=(), wlm_logp=0.0, wlm_words=0,
+                 lex_bonus=0.0, lex_wlen=0):
         self.p_b = p_b  # log P(prefix, ends in blank)
         self.p_nb = p_nb  # log P(prefix, ends in non-blank)
         self.lm_state = lm_state
@@ -81,6 +92,8 @@ class _Beam:
         self.wlm_state = wlm_state  # word-LM history (completed words)
         self.wlm_logp = wlm_logp  # cumulative word-LM log-prob
         self.wlm_words = wlm_words  # completed-word count
+        self.lex_bonus = lex_bonus  # accumulated unk-bypass penalties
+        self.lex_wlen = lex_wlen  # chars since word start (unk bypass)
 
     def total(self) -> float:
         return _logaddexp(self.p_b, self.p_nb)
@@ -112,9 +125,15 @@ def prefix_beam_search(
     fragments are not sentences)."""
     from ..text import uxxxx_to_utf8
 
+    from .lm import word_unk_logp as _word_unk_logp
+
     T = log_probs.shape[0]
     use_lm = lm is not None and config.lm_alpha != 0.0
     use_wlm = word_lm is not None and config.word_lm_alpha != 0.0
+    use_unk = lexicon is not None and config.lex_unk_logp != 0.0
+    unk_pen = float(config.lex_unk_logp)
+    UNK = lexicon.UNK_NODE if lexicon is not None else -2
+    w_unk = _word_unk_logp(word_lm) if use_wlm else 0.0
     lm_start = lm.start_state() if use_lm else ()
     wlm_start = word_lm.start_state() if use_wlm else ()
     try:
@@ -156,9 +175,34 @@ def prefix_beam_search(
             if b is None:
                 b = _Beam(lm_state=src.lm_state, lm_logp=src.lm_logp,
                           lex_node=src.lex_node, wlm_state=src.wlm_state,
-                          wlm_logp=src.wlm_logp, wlm_words=src.wlm_words)
+                          wlm_logp=src.wlm_logp, wlm_words=src.wlm_words,
+                          lex_bonus=src.lex_bonus, lex_wlen=src.lex_wlen)
                 next_beams[prefix] = b
             return b
+
+        def lex_step(node, wlen, c):
+            """(allowed, new_node, penalty, completes_unk) for emitting
+            class ``c`` from trie state ``node`` with ``wlen`` chars in
+            the word so far — the unk-bypass transition rule shared
+            (string-exactly) with the dense device tables and the C++
+            engine. Max-parse determinization of the union FST: stay on
+            the trie for free while possible; falling off retroactively
+            charges the whole fragment at ``unk_pen``/char."""
+            if c == space_id:
+                if node == UNK:
+                    return True, 0, 0.0, True  # unk word completes
+                if lexicon.allows(node, c):
+                    return True, 0, 0.0, False  # in-lexicon boundary
+                if use_unk:  # mid-word: reparse the fragment as unk
+                    return True, 0, unk_pen * wlen, True
+                return False, 0, 0.0, False
+            if node == UNK:
+                return (use_unk, UNK, unk_pen, False)
+            if lexicon.allows(node, c):
+                return True, lexicon.next_node(node, c), 0.0, False
+            if use_unk:
+                return True, UNK, unk_pen * (wlen + 1), False
+            return False, 0, 0.0, False
 
         for prefix, beam in beams.items():
             p_total = beam.total()
@@ -187,10 +231,13 @@ def prefix_beam_search(
                     src_p = p_total
                 if src_p == NEG_INF:
                     continue
-                if lexicon is not None and not lexicon.allows(
-                    beam.lex_node, c
-                ):
-                    continue  # extension would leave the lexicon
+                unk_complete = False
+                lex_node, lex_pen = 0, 0.0
+                if lexicon is not None:
+                    allowed, lex_node, lex_pen, unk_complete = lex_step(
+                        beam.lex_node, beam.lex_wlen, c)
+                    if not allowed:
+                        continue  # extension would leave the lexicon
                 eb = next_beams.get(ext)
                 if eb is None:
                     lm_state, lm_logp = beam.lm_state, beam.lm_logp
@@ -198,20 +245,27 @@ def prefix_beam_search(
                         tok = alphabet.token_of(c)
                         lp, lm_state = lm.score(beam.lm_state, tok)
                         lm_logp = beam.lm_logp + lp
-                    lex_node = (lexicon.next_node(beam.lex_node, c)
-                                if lexicon is not None else 0)
                     wlm_state = beam.wlm_state
                     wlm_logp, wlm_words = beam.wlm_logp, beam.wlm_words
                     if use_wlm and c == space_id:
-                        word = _trailing_word(prefix)
-                        if word:  # consecutive spaces score nothing
-                            wlp, wlm_state = word_lm.score(
-                                beam.wlm_state, word)
-                            wlm_logp = beam.wlm_logp + wlp
+                        if unk_complete:
+                            # unk words are transparent to the word LM:
+                            # the shared <unk> constant, context unmoved
+                            wlm_logp = beam.wlm_logp + w_unk
                             wlm_words = beam.wlm_words + 1
+                        else:
+                            word = _trailing_word(prefix)
+                            if word:  # consecutive spaces score nothing
+                                wlp, wlm_state = word_lm.score(
+                                    beam.wlm_state, word)
+                                wlm_logp = beam.wlm_logp + wlp
+                                wlm_words = beam.wlm_words + 1
                     eb = _Beam(lm_state=lm_state, lm_logp=lm_logp,
                                lex_node=lex_node, wlm_state=wlm_state,
-                               wlm_logp=wlm_logp, wlm_words=wlm_words)
+                               wlm_logp=wlm_logp, wlm_words=wlm_words,
+                               lex_bonus=beam.lex_bonus + lex_pen,
+                               lex_wlen=(0 if c == space_id
+                                         else beam.lex_wlen + 1))
                     next_beams[ext] = eb
                 eb.p_nb = _logaddexp(eb.p_nb, src_p + p_c)
 
@@ -219,7 +273,7 @@ def prefix_beam_search(
         # word is unscored until it completes — standard word-LM fusion)
         def fused(item):
             prefix, b = item
-            s = b.total()
+            s = b.total() + b.lex_bonus
             if use_lm:
                 s += config.lm_alpha * b.lm_logp + config.lm_beta * len(prefix)
             if use_wlm:
@@ -231,14 +285,21 @@ def prefix_beam_search(
         beams = dict(ranked[: config.beam_width])
 
     def final_score(prefix, b: _Beam) -> float:
-        s = b.total()
+        s = b.total() + b.lex_bonus
         if use_lm:
             s += config.lm_alpha * b.lm_logp + config.lm_beta * len(prefix)
+        trailing_unk = b.lex_node == UNK
+        if use_unk and b.lex_node != UNK and not lexicon.at_boundary(
+                b.lex_node):
+            # mid-word trie final: reparse the fragment as an unk word
+            s += unk_pen * b.lex_wlen
+            trailing_unk = True
         if use_wlm:
             wlm_logp, wlm_words = b.wlm_logp, b.wlm_words
             word = _trailing_word(prefix)
             if word:  # score the final (uncompleted-by-space) word
-                wlp, _ = word_lm.score(b.wlm_state, word)
+                wlp = (w_unk if trailing_unk
+                       else word_lm.score(b.wlm_state, word)[0])
                 wlm_logp += wlp
                 wlm_words += 1
             s += (config.word_lm_alpha * wlm_logp
@@ -246,7 +307,9 @@ def prefix_beam_search(
         return s
 
     items = beams.items()
-    if lexicon is not None:
+    if lexicon is not None and not use_unk:
+        # (with the unk bypass every final is representable — mid-word
+        # fragments reparse as penalized unk words in final_score)
         complete = [
             (p, b) for p, b in items if lexicon.at_boundary(b.lex_node)
         ]
@@ -325,6 +388,7 @@ def beam_decode(
             word_lm=word_lm,
             word_lm_alpha=config.word_lm_alpha,
             word_lm_beta=config.word_lm_beta,
+            lex_unk_logp=config.lex_unk_logp,
         )
         return [
             alphabet.decode(all_ids[b])

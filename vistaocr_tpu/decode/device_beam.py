@@ -89,6 +89,8 @@ def beam_scan(
     lm_rows: Optional[jax.Array] = None,  # [R, K] f32 context rows
     lm_probes: int = 0,  # static max probe length for the hash table
     lex_next: Optional[jax.Array] = None,  # [N, K] int32 trie transitions
+    lex_unk_logp: float = 0.0,  # per-char unk-bypass penalty (0 = hard)
+    word_unk_logp: float = 0.0,  # word-LM <unk> completion constant
     word_table: Optional[jax.Array] = None,  # [Vw+1, Vw] word-bigram logp
     word_ids: Optional[jax.Array] = None,  # [N] int32 word id at finals
     space_id: int = -1,
@@ -157,6 +159,13 @@ def beam_scan(
             )
         Vw = word_table.shape[1]
         wt_flat = word_table.reshape(-1)
+    # Character-bypass (<unk>) escape: lex_next must carry the appended
+    # unk row (Lexicon.dense_tables(unk=True)); its index is N-1.
+    use_unk = use_lex and lex_unk_logp != 0.0
+    if use_unk:
+        U_NODE = lex_next.shape[0] - 1
+        UNKP = jnp.float32(lex_unk_logp)
+        WUNK = jnp.float32(word_unk_logp)
     if use_lex:
         lex_flat = lex_next.reshape(-1)
         NLEX_K = lex_next.shape[1]
@@ -197,11 +206,13 @@ def beam_scan(
     lml_0 = jnp.full((B, W), K, jnp.int32)
     bonus_0 = jnp.zeros((B, W), jnp.float32)
     lex_0 = jnp.zeros((B, W), jnp.int32)  # trie root
+    wlen_0 = jnp.zeros((B, W), jnp.int32)  # chars in current word (unk)
     wprev_0 = jnp.full((B, W), word_table.shape[1] if use_wlm else 0,
                        jnp.int32)  # <s>
 
     def body(carry, inp):
-        h1, h2, last, p_b, p_nb, lmp2, lmp, lml, bonus, lex, wprev = carry
+        (h1, h2, last, p_b, p_nb, lmp2, lmp, lml, bonus, lex, wlen,
+         wprev) = carry
         v, i, pb, m = inp  # [B,k] [B,k] [B] [B]
         p_tot = jnp.logaddexp(p_b, p_nb)  # [B, W]
         frame_best = jnp.maximum(v[:, 0], pb)  # [B]
@@ -250,11 +261,39 @@ def beam_scan(
             ext_bonus = bonus[:, :, None] + alpha * q + beta
         if use_lex:
             # trie transition per candidate: -1 kills the extension
+            # (hard mode) or reroutes through the unk row (bypass mode)
             nxt = jnp.take(
                 lex_flat, lex[:, :, None] * NLEX_K + c
             )  # [B, W, k]
-            ext_pnb = jnp.where(nxt >= 0, ext_pnb, neg)
-            nxt = jnp.maximum(nxt, 0)  # node value moot once mass = -inf
+            if use_unk:
+                is_space = c == space_id  # [B, W, k]
+                dead = nxt < 0
+                from_unk = (lex == U_NODE)[:, :, None]
+                wl = wlen[:, :, None].astype(jnp.float32)
+                # chars: free on the trie; UNKP from the unk row; the
+                # fall-off retroactively charges the whole fragment.
+                # space: free at boundaries/unk; mid-word reparses the
+                # fragment as an unk word (UNKP * wlen).
+                pen_char = jnp.where(
+                    from_unk, UNKP,
+                    jnp.where(dead, UNKP * (wl + 1.0), 0.0))
+                lex_pen = jnp.where(
+                    is_space,
+                    jnp.where(dead, UNKP * wl, 0.0),
+                    pen_char)
+                completes_unk = is_space & (from_unk | dead)
+                nxt = jnp.where(
+                    dead, jnp.where(is_space, 0, U_NODE), nxt)
+            else:
+                ext_pnb = jnp.where(nxt >= 0, ext_pnb, neg)
+                nxt = jnp.maximum(nxt, 0)  # node moot once mass = -inf
+        if use_unk:
+            # unk penalties rank beams even without a char LM
+            if use_lm:
+                ext_bonus = ext_bonus + lex_pen
+            else:
+                ext_bonus = bonus[:, :, None] + lex_pen
+        have_bonus = use_lm or use_unk
         if use_wlm:
             # a space from a word-final node completes word_ids[node]
             wid = jnp.take(word_ids, lex)  # [B, W]
@@ -268,7 +307,16 @@ def beam_scan(
                 + jnp.float32(word_beta),
                 0.0,
             )
-            if use_lm:
+            if use_unk:
+                # unk completions score the shared <unk> constant; the
+                # bigram context stays unmoved (unk words transparent)
+                w_add = w_add + jnp.where(
+                    completes_unk,
+                    jnp.float32(word_alpha) * WUNK
+                    + jnp.float32(word_beta),
+                    0.0,
+                )
+            if have_bonus:
                 ext_bonus = ext_bonus + w_add
             else:
                 ext_bonus = (jnp.zeros((B, W, 1)) + bonus[:, :, None]
@@ -300,7 +348,7 @@ def beam_scan(
         pool_pb = jnp.concatenate([stay_pb, jnp.full((B, W * k), neg)], axis=1)
         pool_pnb = jnp.concatenate([stay_pnb, epnb], axis=1)
         total = jnp.logaddexp(pool_pb, pool_pnb)
-        if use_lm or use_wlm:
+        if use_lm or use_wlm or use_unk:
             # rank/prune by the FUSED score; CTC masses stay pure
             pool_bonus = jnp.concatenate(
                 [bonus, flat(jnp.broadcast_to(ext_bonus, (B, W, k)))],
@@ -348,18 +396,26 @@ def beam_scan(
             n_lex = take(pool_lex)
         else:
             n_lex = lex
+        if use_unk:
+            ext_wlen = jnp.where(is_space, 0, wlen[:, :, None] + 1)
+            pool_wlen = jnp.concatenate(
+                [wlen, flat(jnp.broadcast_to(ext_wlen, (B, W, k)))],
+                axis=1)
+            n_wlen = take(pool_wlen)
+        else:
+            n_wlen = wlen
         if use_wlm:
             pool_wprev = jnp.concatenate(
                 [wprev, flat(jnp.broadcast_to(ext_wprev, (B, W, k)))],
                 axis=1)
             n_wprev = take(pool_wprev)
-            if not use_lm:
-                pool_bon = jnp.concatenate(
-                    [bonus, flat(jnp.broadcast_to(ext_bonus, (B, W, k)))],
-                    axis=1)
-                n_bon = take(pool_bon)
         else:
             n_wprev = wprev
+        if (use_wlm or use_unk) and not use_lm:
+            pool_bon = jnp.concatenate(
+                [bonus, flat(jnp.broadcast_to(ext_bonus, (B, W, k)))],
+                axis=1)
+            n_bon = take(pool_bon)
 
         # invalid frames are identity: state passes through, nothing emits
         mw = m[:, None]
@@ -373,25 +429,28 @@ def beam_scan(
         lml = jnp.where(mw, n_lml, lml)
         bonus = jnp.where(mw, n_bon, bonus)
         lex = jnp.where(mw, n_lex, lex)
+        wlen = jnp.where(mw, n_wlen, wlen)
         wprev = jnp.where(mw, n_wprev, wprev)
         parent = jnp.where(mw, n_parent, jnp.broadcast_to(iota_w[None], (B, W)))
         token = jnp.where(mw, n_token, 0)
         return (h1, h2, last, p_b, p_nb, lmp2, lmp, lml, bonus, lex,
-                wprev), (parent, token)
+                wlen, wprev), (parent, token)
 
     carry, (parents, tokens) = jax.lax.scan(
         body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp2_0, lmp_0, lml_0,
-               bonus_0, lex_0, wprev_0),
+               bonus_0, lex_0, wlen_0, wprev_0),
         (vals_t, ids_t, pblank_t, mask_t),
     )
-    _, _, _, p_b, p_nb, _, _, _, bonus, lex, wprev = carry
+    _, _, _, p_b, p_nb, _, _, _, bonus, lex, wlen, wprev = carry
     totals = jnp.logaddexp(p_b, p_nb)
     if use_lm or use_lex or use_wlm:
         extras = {}
-        if use_lm or use_wlm:
+        if use_lm or use_wlm or use_unk:
             extras["bonus"] = bonus
         if use_lex:
             extras["lex"] = lex
+        if use_unk:
+            extras["wlen"] = wlen
         if use_wlm:
             extras["wprev"] = wprev
         return totals, extras, parents, tokens
@@ -414,7 +473,8 @@ def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float,
                 all_beams=all_beams,
             ),
             static_argnames=("space_id", "word_alpha", "word_beta",
-                             "lm_probes"),
+                             "lm_probes", "lex_unk_logp",
+                             "word_unk_logp"),
         )
     return jax.jit(functools.partial(
         beam_scan_collapsed, beam_width=beam_width, topk=topk,
@@ -488,6 +548,8 @@ def beam_scan_collapsed(
     lm_probes: int = 0,
     lex_next: Optional[jax.Array] = None,
     lex_boundary: Optional[jax.Array] = None,  # [N] bool, with lex_next
+    lex_unk_logp: float = 0.0,
+    word_unk_logp: float = 0.0,
     word_table: Optional[jax.Array] = None,
     word_ids: Optional[jax.Array] = None,
     space_id: int = -1,
@@ -521,7 +583,9 @@ def beam_scan_collapsed(
             prune_logp=prune_logp, lm_table=lm_table, lm_alpha=lm_alpha,
             lm_beta=lm_beta, lm_hash_keys=lm_hash_keys,
             lm_hash_vals=lm_hash_vals, lm_rows=lm_rows,
-            lm_probes=lm_probes, lex_next=lex_next, word_table=word_table,
+            lm_probes=lm_probes, lex_next=lex_next,
+            lex_unk_logp=lex_unk_logp, word_unk_logp=word_unk_logp,
+            word_table=word_table,
             word_ids=word_ids, space_id=space_id, word_alpha=word_alpha,
             word_beta=word_beta,
         )
@@ -544,9 +608,27 @@ def beam_scan_collapsed(
             )
         if lex_next is not None:
             ok = jnp.take(lex_boundary, extras["lex"])  # [B, W]
-            gated = jnp.where(ok, fused, -jnp.inf)
-            # a line with no boundary-ending beam falls back ungated
-            fused = jnp.where(ok.any(axis=1)[:, None], gated, fused)
+            if lex_unk_logp != 0.0:
+                # unk bypass: no hard gating — a mid-word trie final
+                # reparses its fragment as a penalized unk word, exactly
+                # as the host oracle's final_score does
+                wlen_f = extras["wlen"].astype(jnp.float32)
+                fused = fused + jnp.where(
+                    ok, 0.0, jnp.float32(lex_unk_logp) * wlen_f)
+                if word_table is not None:
+                    at_unk = extras["lex"] == lex_next.shape[0] - 1
+                    trailing_unk = at_unk | ~ok
+                    fused = fused + jnp.where(
+                        trailing_unk,
+                        jnp.float32(word_alpha)
+                        * jnp.float32(word_unk_logp)
+                        + jnp.float32(word_beta),
+                        0.0,
+                    )
+            else:
+                gated = jnp.where(ok, fused, -jnp.inf)
+                # a line with no boundary-ending beam falls back ungated
+                fused = jnp.where(ok.any(axis=1)[:, None], gated, fused)
         if all_beams:
             # Constrained n-best: every slot's FUSED final score (LM
             # bonus + trailing word + boundary gating already applied)

@@ -114,8 +114,14 @@ class Lexicon:
         """True when a hypothesis may END here (complete words only)."""
         return node == 0 or self._word_final[node]
 
+    # The host UNK sentinel: a beam mid-way through an out-of-lexicon
+    # word under the character-bypass escape (see docs/decoding.md
+    # "Open vocabulary"). The device twin is the appended dense-table
+    # row (index N).
+    UNK_NODE = -2
+
     # ---- dense form for the ON-DEVICE beam search ---------------------------
-    def dense_tables(self):
+    def dense_tables(self, unk: bool = False):
         """Densify the trie for decode/device_beam.beam_scan: returns
         ``(next_tbl [N, K] int32, boundary [N] bool)`` where
         ``next_tbl[node, c]`` is the node after emitting class ``c``
@@ -124,35 +130,54 @@ class Lexicon:
         where a hypothesis may end. The device search then needs one
         gather per candidate and zero branching — the lexicon-FST on
         the MXU's terms. Cached: the trie is immutable after
-        construction and batch loops call this per batch."""
+        construction and batch loops call this per batch.
+
+        ``unk=True`` appends the character-bypass state as row ``N``
+        (the union-FST <unk> loop): every symbol loops on ``N``, space
+        exits to the root, and ``boundary[N]`` is True (a hypothesis may
+        end mid-unk-word — unk words are arbitrary). The search reaches
+        row ``N`` when a candidate falls off the trie and pays the
+        per-char penalty there (beam_scan's ``lex_unk_logp``)."""
         import numpy as np
 
-        if getattr(self, "_dense_cache", None) is not None:
-            return self._dense_cache
+        cache = getattr(self, "_dense_cache", None) or {}
+        if unk in cache:
+            return cache[unk]
         N = len(self._children)
         K = self.alphabet.num_classes
-        if N * K >= 2**31:
+        rows = N + 1 if unk else N
+        if rows * K >= 2**31:
             raise ValueError(
                 f"lexicon too large for the dense device form: {N} trie "
                 f"nodes x {K} classes overflows the int32 flat index "
                 "(and the table itself would be multi-GB); use the host "
                 "expansion (beam_impl='host') for this vocabulary"
             )
-        next_tbl = np.full((N, K), -1, np.int32)
-        boundary = np.zeros((N,), bool)
+        next_tbl = np.full((rows, K), -1, np.int32)
+        boundary = np.zeros((rows,), bool)
         for node in range(N):
             for c, nxt in self._children[node].items():
                 next_tbl[node, c] = nxt
             boundary[node] = self.at_boundary(node)
             if self.space_id >= 0 and boundary[node]:
                 next_tbl[node, self.space_id] = 0
-        self._dense_cache = (next_tbl, boundary)
-        return self._dense_cache
+        if unk:
+            next_tbl[N, 1:] = N  # every symbol loops in the unk state
+            if self.space_id >= 0:
+                next_tbl[N, self.space_id] = 0  # space completes the word
+            boundary[N] = True
+        cache[unk] = (next_tbl, boundary)
+        self._dense_cache = cache
+        return cache[unk]
 
-    def word_id_table(self):
+    def word_id_table(self, unk: bool = False):
         """[N] int32: the word id completed at each word-final node
         (-1 elsewhere) — pairs with ``dense_tables`` for on-device
-        word-LM fusion (word ids index ``self.words``)."""
+        word-LM fusion (word ids index ``self.words``). ``unk=True``
+        appends the -1 entry for the unk row (no lexicon word id)."""
         import numpy as np
 
-        return np.asarray(self._node_word, np.int32)
+        arr = np.asarray(self._node_word, np.int32)
+        if unk:
+            arr = np.concatenate([arr, np.asarray([-1], np.int32)])
+        return arr

@@ -303,6 +303,17 @@ def dense_word_logp_table(word_lm: "ArpaLM", words):
     return t
 
 
+def word_unk_logp(word_lm: Optional["ArpaLM"]) -> float:
+    """The <unk>-word completion score all three engines share when the
+    lexicon character-bypass completes an out-of-lexicon word under a
+    word LM: the LM's <unk> unigram when present, else the same -20
+    floor ArpaLM's backoff lookup bottoms out at."""
+    if word_lm is None:
+        return 0.0
+    ent = word_lm._lookup((UNK,))
+    return ent[0] if ent else -20.0
+
+
 def train_char_lm(
     transcripts: Iterable[str],
     order: int = 3,

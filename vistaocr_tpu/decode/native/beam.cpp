@@ -178,8 +178,9 @@ struct BeamE {
   double p_nb = kNegInf;
   double lm_logp = 0.0;
   int lex = 0;       // lexicon trie node (dense-table constraint)
+  int wlen = 0;      // chars since word start (unk-bypass penalties)
   int wprev = 0;     // last completed word id (n_words = <s>)
-  double wbonus = 0.0;  // cumulative word-LM bonus (alpha*logp + beta)
+  double wbonus = 0.0;  // cumulative word-LM + unk-bypass bonus
   double total() const { return logaddexp(p_b, p_nb); }
 };
 
@@ -195,8 +196,15 @@ struct LexCtx {
   int n_words = 0;
   int space_id = -1;
   double word_alpha = 0.0, word_beta = 0.0;
+  // Character-bypass (<unk>) escape: when unk_logp != 0 the tables must
+  // carry the appended unk row (Lexicon.dense_tables(unk=True)) whose
+  // index is unk_node; word_unk_logp is the shared <unk>-completion
+  // constant (decode/lm.word_unk_logp).
+  double unk_logp = 0.0, word_unk_logp = 0.0;
+  int unk_node = -1;
   bool lex() const { return lex_next != nullptr; }
   bool wlm() const { return word_table != nullptr; }
+  bool unk() const { return lex() && unk_logp != 0.0; }
 };
 
 struct Hypo {
@@ -273,6 +281,7 @@ void beam_search_one(
       e.node = src.node;
       e.lm_logp = src.lm_logp;  // prefix-determined, like lex/word state
       e.lex = src.lex;
+      e.wlen = src.wlen;
       e.wprev = src.wprev;
       e.wbonus = src.wbonus;
       next.push_back(e);
@@ -318,9 +327,33 @@ void beam_search_one(
         }
         if (src_p == kNegInf) continue;
         int lex_child = 0;
+        double lex_pen = 0.0;
+        bool unk_complete = false;
         if (lx.lex()) {
           lex_child = lx.lex_next[static_cast<size_t>(beam.lex) * lx.K + c];
-          if (lex_child < 0) continue;  // extension leaves the lexicon
+          if (lx.unk()) {
+            // union-FST character bypass, max-parse determinized — the
+            // same rule the host oracle's lex_step and the device's
+            // dense-table branch implement (string-exact triple parity)
+            const bool from_unk = beam.lex == lx.unk_node;
+            const bool is_space = c == lx.space_id;
+            if (from_unk && !is_space) {
+              lex_pen = lx.unk_logp;  // unk loop char
+            } else if (lex_child < 0) {
+              if (is_space) {  // mid-word space: fragment reparses as unk
+                lex_child = 0;
+                lex_pen = lx.unk_logp * beam.wlen;
+                unk_complete = true;
+              } else {  // fall off the trie: retroactive fragment charge
+                lex_child = lx.unk_node;
+                lex_pen = lx.unk_logp * (beam.wlen + 1);
+              }
+            } else if (from_unk && is_space) {
+              unk_complete = true;  // table already routes to the root
+            }
+          } else if (lex_child < 0) {
+            continue;  // extension leaves the lexicon (hard mode)
+          }
         }
         int child = child_of(beam.node, c);
         auto it = slot.find(child);
@@ -335,16 +368,23 @@ void beam_search_one(
           e.node = child;
           e.lm_logp = lm_lp;
           e.lex = lex_child;
+          e.wlen = c == lx.space_id ? 0 : beam.wlen + 1;
           e.wprev = beam.wprev;
-          e.wbonus = beam.wbonus;
+          e.wbonus = beam.wbonus + lex_pen;
           if (lx.wlm() && c == lx.space_id) {
-            int wid = lx.word_ids[beam.lex];
-            if (wid >= 0) {  // a space at a word-final node completes it
-              e.wbonus += lx.word_alpha *
-                  lx.word_table[static_cast<size_t>(beam.wprev) *
-                                lx.n_words + wid] +
-                  lx.word_beta;
-              e.wprev = wid;
+            if (unk_complete) {
+              // unk words are transparent to the word LM: the shared
+              // <unk> constant, bigram context unmoved
+              e.wbonus += lx.word_alpha * lx.word_unk_logp + lx.word_beta;
+            } else {
+              int wid = lx.word_ids[beam.lex];
+              if (wid >= 0) {  // a space at a word-final node completes it
+                e.wbonus += lx.word_alpha *
+                    lx.word_table[static_cast<size_t>(beam.wprev) *
+                                  lx.n_words + wid] +
+                    lx.word_beta;
+                e.wprev = wid;
+              }
             }
           }
           next.push_back(e);
@@ -374,9 +414,11 @@ void beam_search_one(
   }
 
   // lexicon finals: prefer beams ending at a word boundary (complete
-  // words), falling back to everything when none does
+  // words), falling back to everything when none does. With the unk
+  // bypass every final is representable (mid-word fragments reparse as
+  // penalized unk words below), so nothing is filtered.
   std::vector<const BeamE*> finals;
-  if (lx.lex()) {
+  if (lx.lex() && !lx.unk()) {
     for (const BeamE& e : beams)
       if (lx.lex_boundary[e.lex]) finals.push_back(&e);
   }
@@ -390,10 +432,20 @@ void beam_search_one(
     if (use_lm)
       s += lm_alpha * e.lm_logp +
            lm_beta * static_cast<double>(nodes[e.node].depth);
+    bool trailing_unk = false;
+    if (lx.unk()) {
+      trailing_unk = e.lex == lx.unk_node;
+      if (!lx.lex_boundary[e.lex]) {
+        s += lx.unk_logp * e.wlen;  // reparse the fragment as unk
+        trailing_unk = true;
+      }
+    }
     if (lx.wlm()) {
       // trailing (un-spaced) word scores at finalization
       int wid = lx.lex() ? lx.word_ids[e.lex] : -1;
-      if (wid >= 0)
+      if (trailing_unk)
+        s += lx.word_alpha * lx.word_unk_logp + lx.word_beta;
+      else if (wid >= 0)
         s += lx.word_alpha *
                  lx.word_table[static_cast<size_t>(e.wprev) * lx.n_words +
                                wid] +
@@ -445,6 +497,7 @@ int vo_beam_decode_batch_lex(
     const int* lex_next, const uint8_t* lex_boundary,
     const float* word_table, const int* word_ids, int n_words,
     int space_id, double word_alpha, double word_beta,
+    double unk_logp, double word_unk_logp, int unk_node,
     int* out_ids, int max_out, int* out_lens, double* out_scores);
 
 // Decode a batch. logprobs: [B, Tmax, K]; frames: [B] valid frame counts;
@@ -459,13 +512,15 @@ int vo_beam_decode_batch(
   return vo_beam_decode_batch_lex(
       logprobs, frames, B, Tmax, K, topk_ids, topk_vals, topk, lm,
       lm_alpha, lm_beta, beam_width, prune_logp,
-      nullptr, nullptr, nullptr, nullptr, 0, -1, 0.0, 0.0,
+      nullptr, nullptr, nullptr, nullptr, 0, -1, 0.0, 0.0, 0.0, 0.0, -1,
       out_ids, max_out, out_lens, out_scores);
 }
 
 // Constrained variant: lex_next [N, K] / lex_boundary [N] (nullptr = no
 // lexicon); word_table [n_words+1, n_words] + word_ids [N] (nullptr =
 // no word LM; needs the lexicon). Same dense tables the device uses.
+// unk_logp != 0 enables the character-bypass escape (tables must carry
+// the appended unk row at index unk_node; see Lexicon.dense_tables).
 int vo_beam_decode_batch_lex(
     const float* logprobs, const int* frames, int B, int Tmax, int K,
     const int* topk_ids, const float* topk_vals, int topk,
@@ -474,6 +529,7 @@ int vo_beam_decode_batch_lex(
     const int* lex_next, const uint8_t* lex_boundary,
     const float* word_table, const int* word_ids, int n_words,
     int space_id, double word_alpha, double word_beta,
+    double unk_logp, double word_unk_logp, int unk_node,
     int* out_ids, int max_out, int* out_lens, double* out_scores) {
   LexCtx lx;
   lx.lex_next = lex_next;
@@ -485,6 +541,11 @@ int vo_beam_decode_batch_lex(
   lx.space_id = space_id;
   lx.word_alpha = word_alpha;
   lx.word_beta = word_beta;
+  lx.unk_logp = unk_logp;
+  lx.word_unk_logp = word_unk_logp;
+  lx.unk_node = unk_node;
+  if (unk_logp != 0.0 && (lex_next == nullptr || unk_node < 0))
+    return 3;  // unk bypass needs the unk-row dense tables
   if (lx.wlm() && !lx.lex()) return 2;  // word LM needs the lexicon
   std::vector<Hypo> hyps;
   for (int b = 0; b < B; b++) {

@@ -87,6 +87,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
         ]
@@ -161,10 +162,12 @@ def beam_decode_batch_native(
     word_lm=None,  # python ArpaLM (order <= 2), densified here
     word_lm_alpha: float = 0.0,
     word_lm_beta: float = 0.0,
+    lex_unk_logp: float = 0.0,  # character-bypass penalty (0 = hard)
 ) -> Tuple[List[List[int]], np.ndarray]:
     """-> (list of best-prefix id lists, scores [B]). With ``lexicon``
     (and optionally a bigram ``word_lm``) the C++ engine applies the
-    same dense-table constraint/fusion as the device search."""
+    same dense-table constraint/fusion as the device search;
+    ``lex_unk_logp`` enables the shared <unk> character-bypass rule."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native lib unavailable: {_build_error}")
@@ -196,14 +199,17 @@ def beam_decode_batch_native(
     if lexicon is None:
         rc = lib.vo_beam_decode_batch(*common, *outs)
     else:
-        next_tbl, boundary = lexicon.dense_tables()
+        use_unk = lex_unk_logp != 0.0
+        next_tbl, boundary = lexicon.dense_tables(unk=use_unk)
         next_tbl = np.ascontiguousarray(next_tbl, np.int32)
         boundary = np.ascontiguousarray(boundary, np.uint8)
+        unk_node = next_tbl.shape[0] - 1 if use_unk else -1
         wt = wi = None
         n_words = 0
-        space_id = -1
+        space_id = lexicon.space_id if use_unk else -1
+        wunk = 0.0
         if word_lm is not None and word_lm_alpha != 0.0:
-            from .lm import dense_word_logp_table
+            from .lm import dense_word_logp_table, word_unk_logp
 
             # cache the dense word table on the LM object — batch loops
             # call per batch, and the build is Vw^2 backoff queries
@@ -215,9 +221,11 @@ def beam_decode_batch_native(
                 word_lm._dense_word_cache = (lexicon, wt)
             else:
                 wt = cache[1]
-            wi = np.ascontiguousarray(lexicon.word_id_table(), np.int32)
+            wi = np.ascontiguousarray(
+                lexicon.word_id_table(unk=use_unk), np.int32)
             n_words = len(lexicon.words)
             space_id = lexicon.space_id
+            wunk = word_unk_logp(word_lm)
         rc = lib.vo_beam_decode_batch_lex(
             *common,
             next_tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
@@ -227,6 +235,7 @@ def beam_decode_batch_native(
             (wi.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
              if wi is not None else None),
             n_words, space_id, word_lm_alpha, word_lm_beta,
+            float(lex_unk_logp), float(wunk), unk_node,
             *outs,
         )
     if rc != 0:

@@ -48,6 +48,7 @@ def decode_posteriors(
     beam_width: int = 16,
     topk: int = 8,
     lexicon_path: Optional[str] = None,
+    lex_unk_logp: float = 0.0,
     word_lm_path: Optional[str] = None,
     word_lm_alpha: float = 0.5,
     word_lm_beta: float = 0.0,
@@ -94,6 +95,7 @@ def decode_posteriors(
             lm_alpha=lm_alpha if lm is not None else 0.0, lm_beta=lm_beta,
             word_lm_alpha=(word_lm_alpha if word_lm is not None else 0.0),
             word_lm_beta=word_lm_beta,
+            lex_unk_logp=lex_unk_logp if lexicon is not None else 0.0,
         )
         k = min(config.topk, alphabet.num_classes - 1)
         # stream one dump file at a time — each file is one bucketed batch
@@ -166,6 +168,9 @@ def main(argv=None):
     p.add_argument("--lexicon", default=None, metavar="WORDS",
                    help="word list: constrain beam hypotheses to lexicon "
                         "words (host trie constraint)")
+    p.add_argument("--lex-unk-logp", type=float, default=0.0,
+                   help="with --lexicon: <unk> character-bypass penalty "
+                        "per char (0 = hard constraint)")
     p.add_argument("--word-lm", default=None, metavar="ARPA",
                    help="word-level ARPA LM fused at word boundaries")
     p.add_argument("--word-lm-alpha", type=float, default=0.5)
@@ -198,6 +203,7 @@ def main(argv=None):
         beam_width=args.beam_width,
         topk=args.topk,
         lexicon_path=args.lexicon,
+        lex_unk_logp=args.lex_unk_logp,
         word_lm_path=args.word_lm,
         word_lm_alpha=args.word_lm_alpha,
         word_lm_beta=args.word_lm_beta,

@@ -170,6 +170,7 @@ def run_inference(
     dump_posteriors: Optional[str] = None,
     nbest: int = 1,
     lexicon_path: Optional[str] = None,
+    lex_unk_logp: float = 0.0,  # <unk> bypass per-char penalty (0 = hard)
     word_lm_path: Optional[str] = None,
     word_lm_alpha: float = 0.5,
     word_lm_beta: float = 0.0,
@@ -252,6 +253,7 @@ def run_inference(
             lm_alpha=lm_alpha if lm else 0.0, lm_beta=lm_beta,
             word_lm_alpha=word_lm_alpha if word_lm is not None else 0.0,
             word_lm_beta=word_lm_beta,
+            lex_unk_logp=lex_unk_logp if lexicon is not None else 0.0,
         )
     dumper = (
         _PosteriorDumper(dump_posteriors, alphabet, snapshot, split, ds)
@@ -319,22 +321,34 @@ def run_inference(
                     "device lexicon decoding with an LM needs order <= 4 "
                     "(fused); use --beam-impl host for higher orders"
                 )
-            next_tbl, boundary = lexicon.dense_tables()
+            use_unk = beam_config.lex_unk_logp != 0.0
+            next_tbl, boundary = lexicon.dense_tables(unk=use_unk)
             lex_kw = dict(
                 lex_next=jax.device_put(next_tbl),
                 lex_boundary=jax.device_put(boundary),
             )
+            if use_unk:
+                lex_kw.update(
+                    lex_unk_logp=float(beam_config.lex_unk_logp),
+                    space_id=lexicon.space_id,
+                )
             if word_lm is not None and beam_config.word_lm_alpha != 0:
-                from .decode.lm import dense_word_logp_table
+                from .decode.lm import (
+                    dense_word_logp_table,
+                    word_unk_logp,
+                )
 
                 lex_kw.update(
                     word_table=jax.device_put(np.asarray(
                         dense_word_logp_table(word_lm, lexicon.words))),
-                    word_ids=jax.device_put(lexicon.word_id_table()),
+                    word_ids=jax.device_put(
+                        lexicon.word_id_table(unk=use_unk)),
                     space_id=lexicon.space_id,
                     word_alpha=float(beam_config.word_lm_alpha),
                     word_beta=float(beam_config.word_lm_beta),
                 )
+                if use_unk:
+                    lex_kw["word_unk_logp"] = float(word_unk_logp(word_lm))
                 lm_fusion = (lm_fusion or "") + "+device-word"
         if (lm_table is not None or lex_kw) and nbest > 1:
             # Constrained n-best ON DEVICE: the fused all-beams scan
@@ -586,11 +600,15 @@ def main(argv=None):
                    help="word list (one per line, utf8): constrain beam "
                         "hypotheses to lexicon words (with --beam-impl "
                         "host) — the Kaldi-era lexicon-FST workflow")
+    p.add_argument("--lex-unk-logp", type=float, default=0.0,
+                   help="with --lexicon: per-character log penalty for "
+                        "out-of-lexicon words (<unk> character-bypass "
+                        "escape, e.g. -4); 0 keeps the HARD constraint")
     p.add_argument("--nbest", type=int, default=1,
                    help="with --decoder beam: write the top-N ranked "
                         "hypotheses per line into --out (the reference "
-                        "era's n-best export); --beam-impl host composes "
-                        "with --lexicon/--word-lm (constrained n-best)")
+                        "era's n-best export); composes with "
+                        "--lexicon/--word-lm on either beam impl")
     p.add_argument("--dump-posteriors", default=None, metavar="DIR",
                    help="also export per-frame log-probs (f16 npz per "
                         "batch + alphabet meta) for external decoding/"
@@ -611,6 +629,7 @@ def main(argv=None):
         dump_posteriors=args.dump_posteriors,
         nbest=args.nbest,
         lexicon_path=args.lexicon,
+        lex_unk_logp=args.lex_unk_logp,
         word_lm_path=args.word_lm,
         word_lm_alpha=args.word_lm_alpha,
         word_lm_beta=args.word_lm_beta,

@@ -266,20 +266,32 @@ class OcrService:
                 return jax.device_put(x, replicated(self._mesh))
             return jax.device_put(x)
 
+        use_unk = (config.lexicon_path is not None
+                   and getattr(config.beam, "lex_unk_logp", 0.0) != 0.0)
         if config.lexicon_path and config.decoder == "beam":
             from ..decode.lexicon import Lexicon
 
             self._lexicon = Lexicon.read_words(
                 self.alphabet, config.lexicon_path)
             if config.beam_impl == "device":
-                next_tbl, boundary = self._lexicon.dense_tables()
+                next_tbl, boundary = self._lexicon.dense_tables(
+                    unk=use_unk)
                 self._lex_kw = dict(
                     lex_next=_put_table(next_tbl),
                     lex_boundary=_put_table(boundary),
                 )
+                if use_unk:
+                    self._lex_kw.update(
+                        lex_unk_logp=float(config.beam.lex_unk_logp),
+                        space_id=self._lexicon.space_id,
+                    )
         self._word_lm = None
         if config.word_lm_path and config.decoder == "beam":
-            from ..decode.lm import ArpaLM, dense_word_logp_table
+            from ..decode.lm import (
+                ArpaLM,
+                dense_word_logp_table,
+                word_unk_logp,
+            )
 
             self._word_lm = ArpaLM.read_arpa(config.word_lm_path)
             if config.beam_impl == "device":
@@ -293,11 +305,14 @@ class OcrService:
                         dense_word_logp_table(
                             self._word_lm, self._lexicon.words))),
                     word_ids=_put_table(
-                        self._lexicon.word_id_table()),
+                        self._lexicon.word_id_table(unk=use_unk)),
                     space_id=self._lexicon.space_id,
                     word_alpha=float(config.beam.word_lm_alpha),
                     word_beta=float(config.beam.word_lm_beta),
                 )
+                if use_unk:
+                    self._lex_kw["word_unk_logp"] = float(
+                        word_unk_logp(self._word_lm))
         # densify an order-<=3 LM (or hash an order-4 one) for
         # interleaved on-device fusion
         self._lm_table = None
