@@ -31,8 +31,13 @@ NOMINAL_REFERENCE_LINES_PER_SEC = 1000.0
 # where the current run landed so drift is visible run-over-run.
 RECORDED_BANDS = {
     "service greedy": (2211, 3318),
-    "service beam (device)": (2200, 2580),
+    # 1800 observed once in a round-4 builder run whose whole service
+    # section ran slow (submit mb128 880 vs 1563); an immediate fresh-
+    # process re-probe of the same snapshot read 2482-2605, so the band
+    # keeps the low honestly but it is session skew, not a regression.
+    "service beam (device)": (1800, 2605),
     "service beam+LM (fused)": (1420, 1516),
+    "service beam+4gramLM (fused)": (1157, 1157),
     "service beam+lexicon+wordLM": (1377, 1624),
 }
 
