@@ -105,6 +105,41 @@ def stem_im2col(x, k):
     )
 
 
+# Winograd F(2x2, 3x3): 2.25x multiply reduction for 3x3 stride-1 convs.
+# XLA never emits this on TPU (direct conv rides the MXU); the open
+# question is whether the 16-matmul Winograd-domain contraction at
+# BHW/4 tiles beats direct 9-deep contraction despite the 4x tile
+# materialization the transforms force through HBM in plain XLA.
+_BT = np.array(
+    [[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]], np.float32)
+_G = np.array(
+    [[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], np.float32)
+_AT = np.array([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
+_TIN = np.einsum("ai,bj->abij", _BT, _BT).reshape(16, 16)
+_TOUT = np.einsum("pi,qj->pqij", _AT, _AT).reshape(4, 16)
+
+
+def winograd_conv(x, k):
+    Bb, H, W, Ci = x.shape
+    Co = k.shape[-1]
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    tiles = [
+        jax.lax.slice(xp, (0, i, j, 0), (Bb, i + H - 1, j + W - 1, Ci),
+                      (1, 2, 2, 1))
+        for i in range(4) for j in range(4)
+    ]
+    d = jnp.stack(tiles)  # [16, B, H/2, W/2, Ci]
+    U = jnp.einsum("ai,bj,ijco->abco", _G, _G,
+                   k.astype(jnp.float32)).reshape(16, Ci, Co)
+    V = jnp.einsum("ut,tbhwc->ubhwc", jnp.asarray(_TIN, x.dtype), d)
+    M = jnp.einsum("ubhwc,uco->ubhwo", V, U.astype(x.dtype),
+                   preferred_element_type=x.dtype)
+    Y = jnp.einsum("vu,ubhwo->vbhwo", jnp.asarray(_TOUT, x.dtype), M)
+    return (Y.reshape(2, 2, Bb, H // 2, W // 2, Co)
+             .transpose(2, 3, 0, 4, 1, 5).reshape(Bb, H, W, Co))
+
+
 def max_pool(x, pool):
     if pool == (1, 1):
         return x
@@ -121,6 +156,10 @@ def stack(kernels, x, *, variant):
             i += 1
             if si == 0 and ci == 0 and variant == "stem_im2col":
                 x = stem_im2col(x, k)
+            elif variant == "winograd" and not (si == 0 and ci == 0):
+                # stem stays direct: contraction depth 1 is MXU-starved
+                # in BOTH formulations and Winograd only shrinks it
+                x = winograd_conv(x, k)
             elif variant == "dw_f32":
                 x = conv_custom(x, k, jnp.float32)
             elif variant == "dw_bf16":
@@ -186,7 +225,12 @@ def main():
 
     g0 = gref("baseline")
     results = {}
-    for variant in ("baseline", "stem_im2col", "dw_f32", "dw_bf16"):
+    variants = ("baseline", "stem_im2col", "dw_f32", "dw_bf16", "winograd")
+    if os.environ.get("CONV_VARIANTS"):
+        variants = tuple(os.environ["CONV_VARIANTS"].split(","))
+        if "baseline" not in variants:
+            variants = ("baseline",) + variants
+    for variant in variants:
         g = gref(variant)
         rel = max(
             float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12))
