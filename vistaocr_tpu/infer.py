@@ -174,6 +174,8 @@ def run_inference(
     word_lm_path: Optional[str] = None,
     word_lm_alpha: float = 0.5,
     word_lm_beta: float = 0.0,
+    quantize: str = "none",  # "none" | "int8" (PTQ conv stack, models/quant.py)
+    calib_batches: int = 4,
     log=print,
 ) -> dict:
     from .decode import BeamConfig, beam_decode, load_lm
@@ -208,6 +210,24 @@ def run_inference(
     if pipe.dropped:
         log(f"warning: {pipe.dropped} lines fit no bucket; skipped")
     eval_step = make_eval_step(model)
+    if quantize != "none":
+        # Int8 PTQ of the conv feature extractor (models/quant.py): BN
+        # folded into per-channel int8 weights, activation scales frozen
+        # from the split's first few batches. bridge/BLSTM/head keep the
+        # model dtype, logits stay f32 — only the conv stack changes.
+        if quantize != "int8":
+            raise ValueError(f"unknown --quantize mode {quantize!r}")
+        from .models.quant import make_quantized_eval_step, quantize_model
+
+        calib = []
+        for b in pipe.epoch(0):
+            calib.append((b.images, b.widths))
+            if len(calib) >= max(calib_batches, 1):
+                break
+        qstack = jax.device_put(quantize_model(model, variables, calib))
+        eval_step = make_quantized_eval_step(model, qstack)
+        log(f"int8 PTQ: conv stack quantized "
+            f"(calibrated over {len(calib)} batches)")
 
     lexicon = None
     if lexicon_path:
@@ -543,6 +563,7 @@ def run_inference(
             f"{decoder}:{beam_impl}" if decoder == "beam" else decoder
         ),
         **({"lm_fusion": lm_fusion} if lm_fusion else {}),
+        **({"quantize": quantize} if quantize != "none" else {}),
         "lines": len(hyps),
         "cer": round(c, 5),
         "wer": round(w, 5),
@@ -616,6 +637,14 @@ def main(argv=None):
     p.add_argument("--lm", default=None, help="ARPA LM path for beam fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--lm-beta", type=float, default=0.0)
+    p.add_argument("--quantize", choices=("none", "int8"), default="none",
+                   help="int8: post-training-quantize the conv stack "
+                        "(BN-folded per-channel int8 weights, calibrated "
+                        "activation scales; ~1.3x conv forward on v5e — "
+                        "models/quant.py)")
+    p.add_argument("--calib-batches", type=int, default=4,
+                   help="with --quantize: calibration batches drawn from "
+                        "the split before eval")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
     args = p.parse_args(argv)
     if args.platform:
@@ -633,6 +662,8 @@ def main(argv=None):
         word_lm_path=args.word_lm,
         word_lm_alpha=args.word_lm_alpha,
         word_lm_beta=args.word_lm_beta,
+        quantize=args.quantize,
+        calib_batches=args.calib_batches,
     )
 
 
