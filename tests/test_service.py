@@ -537,3 +537,59 @@ class TestDeviceDeskew:
         # correction must bring the decode closer to the straight truth
         assert cer_desk <= cer_raw, (cer_desk, cer_raw)
         assert cer_desk < 0.15, (cer_desk, cer_raw, out)
+
+
+class TestQuantizedServing:
+    """int8 on the serving surface (round 5): ServiceConfig(quantize=
+    'int8') loads the snapshot's shipped qstack and swaps the conv stack
+    in every per-bucket graph; quality must hold at the service level."""
+
+    def test_int8_requires_shipped_qstack(self, snapshot, tmp_path):
+        import shutil
+
+        snap, _ = snapshot
+        bare = str(tmp_path / "bare")
+        shutil.copytree(snap, bare)
+        qf = tmp_path / "bare" / "qstack.msgpack"
+        if qf.exists():
+            qf.unlink()
+        with pytest.raises(ValueError, match="qstack"):
+            OcrService(bare, ServiceConfig(warmup=False, quantize="int8"))
+
+    def test_unknown_quantize_mode_rejected(self, snapshot):
+        snap, _ = snapshot
+        with pytest.raises(ValueError, match="quantize"):
+            OcrService(snap, ServiceConfig(warmup=False, quantize="int4"))
+
+    def test_int8_service_matches_float(self, snapshot):
+        """Service-level CER parity: int8 transcripts must agree with the
+        float service on nearly every line (greedy AND device beam), and
+        quality vs ground truth must hold — BASELINE config #5's quality
+        gate on the quantized path."""
+        from vistaocr_tpu.models.quant import quantize_snapshot
+
+        snap, data = snapshot
+        quantize_snapshot(snap, data, calib_batches=2, batch_pixels=2**17)
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=301,
+        )
+        pairs = [gen.sample(height=32, max_width=380) for _ in range(16)]
+        imgs = [img for img, _ in pairs]
+        for decoder in ("greedy", "beam"):
+            outs = {}
+            for q in ("none", "int8"):
+                svc = OcrService(snap, ServiceConfig(
+                    max_batch=16, warmup=False, decoder=decoder,
+                    quantize=q))
+                try:
+                    outs[q] = [r.text for r in svc.ocr_lines(imgs)]
+                finally:
+                    svc.close()
+            same = sum(a == b for a, b in zip(outs["none"], outs["int8"]))
+            assert same >= 14, (decoder, list(zip(outs["none"],
+                                                  outs["int8"])))
+            exact = sum(t == text for t, (_, text)
+                        in zip(outs["int8"], pairs))
+            assert exact >= 11, (decoder, outs["int8"])

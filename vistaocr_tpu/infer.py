@@ -217,17 +217,31 @@ def run_inference(
         # model dtype, logits stay f32 — only the conv stack changes.
         if quantize != "int8":
             raise ValueError(f"unknown --quantize mode {quantize!r}")
-        from .models.quant import make_quantized_eval_step, quantize_model
+        from .models.quant import (
+            calibration_batches,
+            load_qstack,
+            make_quantized_eval_step,
+            quantize_model,
+        )
 
-        calib = []
-        for b in pipe.epoch(0):
-            calib.append((b.images, b.widths))
-            if len(calib) >= max(calib_batches, 1):
-                break
-        qstack = jax.device_put(quantize_model(model, variables, calib))
+        # Prefer the snapshot's shipped int8 artifact (models/quant.py
+        # quantize_snapshot): self-describing checkpoints extend to int8
+        # — no calibration pass, deterministic across invocations.
+        qstack = load_qstack(snapshot)
+        if qstack is not None:
+            qstack = jax.device_put(qstack)
+            log("int8 PTQ: loaded stored qstack from snapshot")
+        else:
+            # Calibrate from the TRAIN split when the dataset has one
+            # (ADVICE r4: scoring the calibration split is mild leakage);
+            # only fall back to the scored split for split-less bundles.
+            calib = calibration_batches(
+                data_dir, snapshot, calib_batches=calib_batches,
+                batch_pixels=batch_pixels, split="train")
+            qstack = jax.device_put(quantize_model(model, variables, calib))
+            log(f"int8 PTQ: conv stack quantized "
+                f"(calibrated over {len(calib)} train batches)")
         eval_step = make_quantized_eval_step(model, qstack)
-        log(f"int8 PTQ: conv stack quantized "
-            f"(calibrated over {len(calib)} batches)")
 
     lexicon = None
     if lexicon_path:

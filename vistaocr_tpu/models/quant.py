@@ -239,6 +239,103 @@ def quantize_model(
     return quantize_conv_stack(kernels, biases, in_scales)
 
 
+QSTACK_FILE = "qstack.msgpack"
+
+
+def save_qstack(snapshot_dir: str, qstack: dict) -> str:
+    """Persist a quantized conv stack INTO a snapshot directory as an
+    optional artifact (round-5: the self-describing-checkpoint invariant
+    — CLAUDE.md — extends to int8: serve/infer must be able to run
+    quantized from the directory alone, no calibration data at load).
+    Written atomically like checkpoint.save_snapshot's files."""
+    import os
+
+    from flax import serialization
+
+    # msgpack packs lists, not tuples; arrays go through np.asarray
+    payload = serialization.msgpack_serialize(
+        {k: [np.asarray(x) for x in v] for k, v in qstack.items()})
+    dst = os.path.join(snapshot_dir, QSTACK_FILE)
+    tmp = dst + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, dst)
+    return dst
+
+
+def load_qstack(snapshot_dir: str):
+    """Load a stored quantized conv stack, or None if the snapshot has
+    no int8 artifact. Restores the jit-friendly pytree shape
+    (msgpack round-trips tuples as dicts of index keys)."""
+    import os
+
+    from flax import serialization
+
+    path = os.path.join(snapshot_dir, QSTACK_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+
+    def _tup(v):
+        if isinstance(v, dict):  # {'0': ..., '1': ...} from a tuple
+            return tuple(v[k] for k in sorted(v, key=int))
+        return tuple(v)
+
+    return {
+        "kernels": _tup(raw["kernels"]),
+        "wscales": _tup(raw["wscales"]),
+        "biases": _tup(raw["biases"]),
+        "in_scales": tuple(
+            jnp.float32(np.asarray(s)) for s in _tup(raw["in_scales"])),
+    }
+
+
+def calibration_batches(data_dir: str, snapshot: str, *,
+                        calib_batches: int = 4, batch_pixels: int = 2**19,
+                        split: str = "train"):
+    """Draw calibration (images, widths) batches from a dataset split.
+
+    Defaults to the TRAIN split so reported quantized CER on eval splits
+    is leakage-free (ADVICE r4: calibrating on the scored split is mild
+    test-set leakage); falls back to whatever split exists.
+    """
+    from ..checkpoint import load_model
+    from ..data.pipeline import BatchPipeline
+    from ..data.shards import open_dataset
+
+    _, _, alphabet, contract = load_model(snapshot)
+    try:
+        ds = open_dataset(data_dir, split)
+    except (FileNotFoundError, KeyError):
+        ds = open_dataset(data_dir, "test")
+    pipe = BatchPipeline(ds, alphabet, contract, batch_pixels=batch_pixels,
+                         drop_remainder=False, shuffle=False)
+    out = []
+    for b in pipe.epoch(0):
+        out.append((b.images, b.widths))
+        if len(out) >= max(calib_batches, 1):
+            break
+    return out
+
+
+def quantize_snapshot(snapshot: str, data_dir: str, *,
+                      split: str = "train", calib_batches: int = 4,
+                      batch_pixels: int = 2**19) -> str:
+    """Fold + calibrate + quantize a snapshot's conv stack and ship the
+    result into the snapshot directory (``qstack.msgpack``). After this,
+    ``infer --quantize int8`` and ``ServiceConfig(quantize='int8')`` run
+    from the directory alone."""
+    from ..checkpoint import load_model
+
+    model, variables, _, _ = load_model(snapshot)
+    batches = calibration_batches(
+        data_dir, snapshot, calib_batches=calib_batches,
+        batch_pixels=batch_pixels, split=split)
+    qstack = quantize_model(model, variables, batches)
+    return save_qstack(snapshot, qstack)
+
+
 def make_quantized_eval_step(model, qstack):
     """Drop-in replacement for train.make_eval_step: same signature
     (params, batch_stats, images, widths) -> (log_probs, frame_mask);
@@ -255,3 +352,34 @@ def make_quantized_eval_step(model, qstack):
         return step(params, qstack, images, widths)
 
     return eval_step
+
+
+def main(argv=None):
+    """CLI: calibrate + quantize a snapshot's conv stack and store the
+    int8 artifact inside the snapshot directory.
+
+    Usage: python -m vistaocr_tpu.models.quant --snapshot <dir>/best \
+               --data <dataset> [--split train] [--calib-batches 4]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--snapshot", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--split", default="train",
+                   help="calibration split (train by default: keeps "
+                        "quantized eval CER leakage-free)")
+    p.add_argument("--calib-batches", type=int, default=4)
+    p.add_argument("--batch-pixels", type=int, default=2**19)
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    out = quantize_snapshot(
+        args.snapshot, args.data, split=args.split,
+        calib_batches=args.calib_batches, batch_pixels=args.batch_pixels)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,16 @@ class ServiceConfig:
     # pad, normalize) then runs entirely in the jitted graph. False =
     # PIL resize on the host per request (round-2 behavior).
     device_resize: bool = True
+    # int8 serving (models/quant.py): replace the conv feature extractor
+    # in EVERY per-bucket graph with the snapshot's shipped quantized
+    # stack (BN folded into per-channel int8 weights, frozen activation
+    # scales; fenced 1.29x conv fwd on v5e — the eval step is ~75% conv).
+    # Requires qstack.msgpack in the snapshot dir (write it once with
+    # ``python -m vistaocr_tpu.models.quant``): serving never calibrates,
+    # so the self-describing-snapshot invariant holds and results are
+    # deterministic across service restarts. bridge/BLSTM/head keep the
+    # model dtype; logits stay f32. "none" | "int8".
+    quantize: str = "none"
     warmup: bool = True
     # Serving re-buckets the snapshot's ladder onto serve_align-multiples.
     # Training wants a FINE ladder (padding waste = wasted FLOPs on the
@@ -195,7 +205,34 @@ class OcrService:
             )
         else:
             self.variables = jax.device_put(self.variables)
-        self._eval_step = make_eval_step(self.model)
+        # int8 serving: the snapshot must ship its qstack (no calibration
+        # data exists at serve time; see ServiceConfig.quantize).
+        self._qstack = None
+        if config.quantize == "int8":
+            from ..models.quant import load_qstack
+
+            qs = load_qstack(snapshot)
+            if qs is None:
+                raise ValueError(
+                    "quantize='int8' needs qstack.msgpack in the snapshot "
+                    "dir; create it once with `python -m "
+                    "vistaocr_tpu.models.quant --snapshot ... --data ...`"
+                )
+            if self._mesh is not None:
+                from ..parallel.mesh import replicated
+
+                self._qstack = jax.device_put(qs, replicated(self._mesh))
+            else:
+                self._qstack = jax.device_put(qs)
+        elif config.quantize != "none":
+            raise ValueError(f"unknown quantize mode {config.quantize!r}")
+        if self._qstack is None:
+            self._eval_step = make_eval_step(self.model)
+        else:
+            from ..models.quant import make_quantized_eval_step
+
+            self._eval_step = make_quantized_eval_step(
+                self.model, self._qstack)
         # Greedy path runs as ONE device program (forward + collapse):
         # on relay-attached TPUs every program call pays a fixed round-trip
         # ack, so fusing halves the per-batch fixed cost.
@@ -225,11 +262,29 @@ class OcrService:
 
             return device_deskew(images, widths)[0]
 
-        def _fused(params, batch_stats, images, widths):
-            lp, fm = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                _maybe_deskew(images, widths), widths, train=False,
+        qstack = self._qstack
+
+        def _forward(params, batch_stats, images, widths):
+            """Model forward for one assembled batch: the float model, or
+            the int8 conv stack + float bridge/BLSTM/head (batch_stats is
+            already folded into the int8 kernels)."""
+            if qstack is None:
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    images, widths, train=False,
+                )
+            from ..models.quant import (
+                quantized_conv_features,
+                sequence_head_apply,
             )
+
+            feats = quantized_conv_features(
+                qstack, images, widths, model.config)
+            return sequence_head_apply(model.config, params, feats, widths)
+
+        def _fused(params, batch_stats, images, widths):
+            lp, fm = _forward(
+                params, batch_stats, _maybe_deskew(images, widths), widths)
             return greedy_frames_packed(lp, fm)
 
         self._eval_greedy = _jit(_fused, 2)
@@ -367,10 +422,8 @@ class OcrService:
             )
 
         def _fused_beam(params, batch_stats, images, widths):
-            lp, fm = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                _maybe_deskew(images, widths), widths, train=False,
-            )
+            lp, fm = _forward(
+                params, batch_stats, _maybe_deskew(images, widths), widths)
             return _beam_tail(lp, fm)
 
         self._eval_beam = _jit(_fused_beam, 2)
@@ -387,10 +440,9 @@ class OcrService:
             img = resized_to_uint8(resize_lines(
                 raw, heights, widths, new_widths, out_h=H, out_w=out_w,
             ))
-            return model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                _maybe_deskew(img, new_widths), new_widths, train=False,
-            )
+            return _forward(
+                params, batch_stats, _maybe_deskew(img, new_widths),
+                new_widths)
 
         def _raw_greedy(params, batch_stats, raw, heights, widths,
                         new_widths):
