@@ -593,3 +593,58 @@ class TestQuantizedServing:
             exact = sum(t == text for t, (_, text)
                         in zip(outs["int8"], pairs))
             assert exact >= 11, (decoder, outs["int8"])
+
+
+class TestLargeVocabServing:
+    """L∘G serving beyond the dense word-table cap (round 5): a >8k-word
+    lexicon routes through the hashed Katz bigram form
+    (decode/lm.device_word_tables) and must still match the host
+    expansion string-for-string."""
+
+    def test_hashed_word_tables_match_host_at_9k_words(self, snapshot,
+                                                       tmp_path):
+        import itertools
+
+        from vistaocr_tpu.data.shards import ShardedLineDataset
+        from vistaocr_tpu.decode import BeamConfig
+        from vistaocr_tpu.decode.lm import DENSE_WORD_CAP, train_char_lm
+        from vistaocr_tpu.text import uxxxx_to_utf8
+
+        snap, data = snapshot
+        ds = ShardedLineDataset(data, "train")
+        sentences = [uxxxx_to_utf8(t) for t in ds.transcripts()]
+        corpus_words = sorted({w for s in sentences for w in s.split()})
+        # pad the lexicon past the dense cap with synthetic junk words
+        # (the realistic shape: a big vocabulary, mostly irrelevant)
+        junk = ("".join(t) for n in (3, 4, 5)
+                for t in itertools.product("abcdeo", repeat=n))
+        words = sorted(set(corpus_words) | set(
+            itertools.islice(junk, DENSE_WORD_CAP + 1000)))
+        assert len(words) > DENSE_WORD_CAP
+        wl = str(tmp_path / "w9k.txt")
+        with open(wl, "w") as f:
+            f.write("\n".join(words))
+        glm = str(tmp_path / "g.arpa")
+        train_char_lm(sentences, order=2).write_arpa(glm)
+        gen = SyntheticLineGenerator(
+            SynthConfig(language="charset", charset="abcdeo ",
+                        min_words=1, max_words=3),
+            seed=71,
+        )
+        imgs = [gen.sample(height=32, max_width=380)[0] for _ in range(6)]
+        bc = BeamConfig(beam_width=8, topk=4, word_lm_alpha=0.6,
+                        word_lm_beta=0.3)
+        out = {}
+        for impl in ("device", "host"):
+            svc = OcrService(snap, ServiceConfig(
+                max_batch=8, warmup=False, decoder="beam", beam_impl=impl,
+                lexicon_path=wl, word_lm_path=glm, beam=bc,
+            ))
+            try:
+                if impl == "device":  # the hashed path must be active
+                    assert "word_uni" in svc._lex_kw
+                    assert "word_table" not in svc._lex_kw
+                out[impl] = [r.uxxxx for r in svc.ocr_lines(imgs)]
+            finally:
+                svc.close()
+        assert out["device"] == out["host"]

@@ -360,6 +360,8 @@ def beam_decode(
     # word ids — the C ABI has no open-vocabulary word path, so that
     # combination must run the Python expansion or it would be silently
     # dropped; ADVICE r3 high).
+    from .lm import DENSE_WORD_CAP
+
     use_native = (
         nb.available()
         and nbest <= 1  # the C ABI returns the best prefix only
@@ -367,6 +369,13 @@ def beam_decode(
         and (word_lm is None or getattr(word_lm, "order", 99) <= 2)
         and (word_lm is None or config.word_lm_alpha == 0.0
              or lexicon is not None)
+        # the C ABI takes the DENSE [V+1, V] word table; past the cap
+        # (V^2 host RAM: 2.5 GiB at 25k) the Python expansion's dict
+        # lookups are the host engine (round 5; the device hashed path
+        # is the production route at this scale)
+        and (word_lm is None or config.word_lm_alpha == 0.0
+             or lexicon is None
+             or len(lexicon.words) <= DENSE_WORD_CAP)
     )
     if not use_native and lm is not None and not hasattr(lm, "score"):
         raise TypeError(

@@ -368,13 +368,15 @@ def run_inference(
                 )
             if word_lm is not None and beam_config.word_lm_alpha != 0:
                 from .decode.lm import (
-                    dense_word_logp_table,
+                    device_word_tables,
                     word_unk_logp,
                 )
 
+                # dense up to 8k words, hashed Katz form beyond
+                wt = device_word_tables(word_lm, lexicon.words)
                 lex_kw.update(
-                    word_table=jax.device_put(np.asarray(
-                        dense_word_logp_table(word_lm, lexicon.words))),
+                    {k: (v if isinstance(v, int) else jax.device_put(v))
+                     for k, v in wt.items()},
                     word_ids=jax.device_put(
                         lexicon.word_id_table(unk=use_unk)),
                     space_id=lexicon.space_id,

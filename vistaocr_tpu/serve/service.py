@@ -344,7 +344,7 @@ class OcrService:
         if config.word_lm_path and config.decoder == "beam":
             from ..decode.lm import (
                 ArpaLM,
-                dense_word_logp_table,
+                device_word_tables,
                 word_unk_logp,
             )
 
@@ -355,10 +355,12 @@ class OcrService:
                         "device word fusion needs lexicon_path and a "
                         "bigram word LM; use beam_impl='host' otherwise"
                     )
+                # dense [V+1, V] table up to 8k words, hashed Katz form
+                # beyond (exact either way; decode/lm.device_word_tables)
+                wt = device_word_tables(self._word_lm, self._lexicon.words)
                 self._lex_kw.update(
-                    word_table=_put_table(np.asarray(
-                        dense_word_logp_table(
-                            self._word_lm, self._lexicon.words))),
+                    {k: (v if isinstance(v, int) else _put_table(v))
+                     for k, v in wt.items()},
                     word_ids=_put_table(
                         self._lexicon.word_id_table(unk=use_unk)),
                     space_id=self._lexicon.space_id,
