@@ -285,7 +285,7 @@ def main():
     # strings, so no extra fencing is needed. BENCH_SERVICE=0 skips.
     svc_lps = svc_beam_lps = 0.0
     svc_lm_fused_lps = svc_lm_2pass_lps = svc_lg_lps = 0.0
-    svc_lm4_fused_lps = 0.0
+    svc_lm4_fused_lps = svc_lg50_lps = 0.0
     if os.environ.get("BENCH_SERVICE", "1") == "1":
         import tempfile
 
@@ -405,6 +405,47 @@ def main():
         _log(f"service beam+lexicon+wordLM (L.G fused): "
              f"{svc_lg_lps:.0f} lines/s/chip "
              f"({_band_note('service beam+lexicon+wordLM', svc_lg_lps)})")
+
+        # Kaldi-scale L∘G: the same fused stack behind a 50k-word lexicon
+        # (corpus words + synthetic fillers — the realistic shape: a big
+        # vocabulary, mostly irrelevant to any one line). Routes through
+        # the hashed Katz word tables (decode/lm.device_word_tables; the
+        # dense form would be 10 GiB at this V). BENCH_BIGLEX=0 skips.
+        if os.environ.get("BENCH_BIGLEX", "1") == "1":
+            import itertools
+
+            import numpy as _np50
+
+            rng50 = _np50.random.default_rng(31)
+            letters = "abcdefghijklmnopqrstuvwxyz"
+            fillers = {
+                "".join(rng50.choice(list(letters), rng50.integers(3, 10)))
+                for _ in range(70000)
+            }
+            big_words = sorted(set(words) | set(
+                itertools.islice(iter(fillers), 50000)))
+            wl50_path = os.path.join(snap, "bench_words50k.txt")
+            with open(wl50_path, "w") as f:
+                f.write("\n".join(big_words))
+            t0 = time.time()
+            svc_lg50 = OcrService(snap, ServiceConfig(
+                max_batch=128, max_wait_ms=2.0, decoder="beam",
+                lexicon_path=wl50_path, word_lm_path=wlm_path,
+                beam=BeamConfig(word_lm_alpha=0.6, word_lm_beta=0.3),
+            ))
+            assert "word_uni" in svc_lg50._lex_kw, (
+                "50k-word service did not take the hashed word path")
+            _log(f"50k-word L.G service init (trie + hashed tables + "
+                 f"warmup): {time.time()-t0:.1f}s, vocab "
+                 f"{len(big_words)}")
+            svc_lg50.ocr_lines(imgs)  # untimed warm pass
+            t0 = time.time()
+            res = svc_lg50.ocr_lines(imgs)
+            svc_lg50_lps = len(res) / (time.time() - t0) / n_chips
+            svc_lg50.close()
+            _log(f"service beam+50k-lexicon+wordLM (hashed L.G): "
+                 f"{svc_lg50_lps:.0f} lines/s/chip "
+                 f"({_band_note('service 50k L.G', svc_lg50_lps)})")
 
     # int8 serving row (round 5): quantize the bench snapshot's conv
     # stack once (models/quant.quantize_snapshot ships qstack.msgpack
@@ -546,6 +587,8 @@ def main():
                 svc_lg_lps, 1),
             "service_int8_lines_per_sec_per_chip": round(svc_int8_lps, 1),
             "eval_int8_lines_per_sec_per_chip": round(eval_int8_lps, 1),
+            "service_beam_50k_lexicon_wordlm_lines_per_sec_per_chip":
+                round(svc_lg50_lps, 1),
             "chips": n_chips,
             "timed_steps": TIMED_STEPS,
             "compute_dtype": "bfloat16",

@@ -82,14 +82,25 @@ _PUNCT_TRAIL = [",", ".", ";", ":", "!", "?"]
 _PUNCT_WRAP = [("'", "'"), ('"', '"'), ("(", ")")]
 
 
-def make_vocabulary(n: int = 4000, seed: int = 0):
-    """Deterministic pseudo-English vocabulary for the open-vocabulary
+def make_vocabulary(n: int = 4000, seed: int = 0, language: str = "en"):
+    """Deterministic pseudo-language vocabulary for the open-vocabulary
     quality regime (VERDICT r3: every earlier corpus drew from a closed
     ~143-word list). The first entries are the built-in high-frequency
-    function words; the rest are syllable-model content words (onset +
-    nucleus [+ coda], 1-3 syllables), deduplicated, same a-z charset.
+    function words (rank order matters: SyntheticLineGenerator's Zipf
+    draw treats list position as frequency rank); the rest are generated
+    content words, deduplicated, same charset as the built-ins.
     Everything derives from the seed, so train/lexicon/OOV splits are
-    reproducible artifacts."""
+    reproducible artifacts.
+
+    ``language``: "en" builds syllable-model words (onset + nucleus
+    [+ coda], 1-3 syllables); "ar"/"fa" build root-and-pattern skeletons
+    in standard unvocalized orthography — a 3-consonant root with
+    optional long vowels (ا و ي / ا و ی) between radicals plus common
+    prefixes (Arabic ال/و/م…, Persian می/بی/نا…) and suffixes (ة/ات/ين,
+    ها/ی/ان) — round 5's hard-regime corpora for the RTL rows (VERDICT
+    r4 missing #2)."""
+    if language in ("ar", "fa"):
+        return _make_vocabulary_rtl(n, seed, language)
     rng = np.random.default_rng(seed)
     onsets = ("", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "n",
               "p", "r", "s", "t", "v", "w", "z", "br", "ch", "cl", "cr",
@@ -109,6 +120,49 @@ def make_vocabulary(n: int = 4000, seed: int = 0):
             if s == n_syll - 1 or rng.uniform() < 0.3:
                 parts.append(codas[int(rng.integers(len(codas)))])
         w = "".join(parts)
+        if len(w) >= 2 and w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words[:n]
+
+
+_RTL_MORPHOLOGY = {
+    # consonant inventory (root radicals), long vowels, prefixes, suffixes
+    "ar": (
+        list("بتثجحخدذرزسشصضطظعغفقكلمنهي"),
+        list("اوي"),
+        ("ال", "و", "ب", "لل", "م", "مست"),
+        ("ة", "ات", "ين", "ون", "ها", "ي"),
+    ),
+    "fa": (
+        list("بپتثجچحخدذرزژسشصضطظعغفقکگلمنهی"),
+        list("اوی"),
+        ("می", "بی", "نا", "هم", "بر"),
+        ("ها", "ی", "ان", "گر", "ستان", "مند"),
+    ),
+}
+
+
+def _make_vocabulary_rtl(n: int, seed: int, language: str):
+    """Root-and-pattern word generator for Arabic/Farsi (see
+    make_vocabulary). Built-in function words first (frequency rank 0..),
+    then generated skeletons; all within DejaVu Sans's Arabic coverage."""
+    cons, longs, prefixes, suffixes = _RTL_MORPHOLOGY[language]
+    base = _AR_WORDS if language == "ar" else _FA_WORDS
+    rng = np.random.default_rng(seed)
+    words = list(dict.fromkeys(base))
+    seen = set(words)
+    while len(words) < n:
+        root = [cons[int(rng.integers(len(cons)))] for _ in range(3)]
+        w = root[0]
+        for c in root[1:]:
+            if rng.uniform() < 0.4:
+                w += longs[int(rng.integers(len(longs)))]
+            w += c
+        if rng.uniform() < 0.25:
+            w = prefixes[int(rng.integers(len(prefixes)))] + w
+        if rng.uniform() < 0.2:
+            w = w + suffixes[int(rng.integers(len(suffixes)))]
         if len(w) >= 2 and w not in seen:
             seen.add(w)
             words.append(w)
