@@ -63,6 +63,16 @@ class BeamConfig:
     # docs/decoding.md "Open vocabulary".
     lex_unk_logp: float = 0.0
 
+    def __post_init__(self):
+        # A positive penalty would turn the per-char OOV cost into a
+        # BONUS — and in unk mode the engines stop masking dead trie
+        # transitions, so the search would actively prefer leaving the
+        # lexicon (advisor r4). Fail loudly at construction.
+        if self.lex_unk_logp > 0.0:
+            raise ValueError(
+                f"lex_unk_logp must be <= 0 (a per-character log "
+                f"penalty); got {self.lex_unk_logp}")
+
 
 def beam_topk(log_probs: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """Device-side per-frame top-k over SYMBOL classes (ids >= 1):
@@ -165,51 +175,54 @@ def prefix_beam_search(
         topk_ids = ids_sorted.astype(np.int32)
         topk_vals = np.take_along_axis(log_probs, topk_ids, axis=1)
 
+    # Frame-invariant helpers, hoisted out of the per-frame loop (the
+    # host oracle's hot path — advisor r4): ``get`` takes the current
+    # frame's accumulator map explicitly.
+    def get(prefix, src: _Beam, next_beams) -> _Beam:
+        b = next_beams.get(prefix)
+        if b is None:
+            b = _Beam(lm_state=src.lm_state, lm_logp=src.lm_logp,
+                      lex_node=src.lex_node, wlm_state=src.wlm_state,
+                      wlm_logp=src.wlm_logp, wlm_words=src.wlm_words,
+                      lex_bonus=src.lex_bonus, lex_wlen=src.lex_wlen)
+            next_beams[prefix] = b
+        return b
+
+    def lex_step(node, wlen, c):
+        """(allowed, new_node, penalty, completes_unk) for emitting
+        class ``c`` from trie state ``node`` with ``wlen`` chars in
+        the word so far — the unk-bypass transition rule shared
+        (string-exactly) with the dense device tables and the C++
+        engine. Max-parse determinization of the union FST: stay on
+        the trie for free while possible; falling off retroactively
+        charges the whole fragment at ``unk_pen``/char."""
+        if c == space_id:
+            if node == UNK:
+                return True, 0, 0.0, True  # unk word completes
+            if lexicon.allows(node, c):
+                return True, 0, 0.0, False  # in-lexicon boundary
+            if use_unk:  # mid-word: reparse the fragment as unk
+                return True, 0, unk_pen * wlen, True
+            return False, 0, 0.0, False
+        if node == UNK:
+            return (use_unk, UNK, unk_pen, False)
+        if lexicon.allows(node, c):
+            return True, lexicon.next_node(node, c), 0.0, False
+        if use_unk:
+            return True, UNK, unk_pen * (wlen + 1), False
+        return False, 0, 0.0, False
+
     for t in range(T):
         p_blank = float(log_probs[t, 0])
         frame_best = max(float(topk_vals[t, 0]), p_blank)
         next_beams: Dict[Tuple[int, ...], _Beam] = {}
-
-        def get(prefix, src: _Beam) -> _Beam:
-            b = next_beams.get(prefix)
-            if b is None:
-                b = _Beam(lm_state=src.lm_state, lm_logp=src.lm_logp,
-                          lex_node=src.lex_node, wlm_state=src.wlm_state,
-                          wlm_logp=src.wlm_logp, wlm_words=src.wlm_words,
-                          lex_bonus=src.lex_bonus, lex_wlen=src.lex_wlen)
-                next_beams[prefix] = b
-            return b
-
-        def lex_step(node, wlen, c):
-            """(allowed, new_node, penalty, completes_unk) for emitting
-            class ``c`` from trie state ``node`` with ``wlen`` chars in
-            the word so far — the unk-bypass transition rule shared
-            (string-exactly) with the dense device tables and the C++
-            engine. Max-parse determinization of the union FST: stay on
-            the trie for free while possible; falling off retroactively
-            charges the whole fragment at ``unk_pen``/char."""
-            if c == space_id:
-                if node == UNK:
-                    return True, 0, 0.0, True  # unk word completes
-                if lexicon.allows(node, c):
-                    return True, 0, 0.0, False  # in-lexicon boundary
-                if use_unk:  # mid-word: reparse the fragment as unk
-                    return True, 0, unk_pen * wlen, True
-                return False, 0, 0.0, False
-            if node == UNK:
-                return (use_unk, UNK, unk_pen, False)
-            if lexicon.allows(node, c):
-                return True, lexicon.next_node(node, c), 0.0, False
-            if use_unk:
-                return True, UNK, unk_pen * (wlen + 1), False
-            return False, 0, 0.0, False
 
         for prefix, beam in beams.items():
             p_total = beam.total()
 
             # blank extends the same prefix (never pruned: dropping it
             # forfeits the beam's continuation mass for no real savings)
-            nb = get(prefix, beam)
+            nb = get(prefix, beam, next_beams)
             nb.p_b = _logaddexp(nb.p_b, p_total + p_blank)
 
             for j in range(topk_ids.shape[1]):
@@ -221,7 +234,7 @@ def prefix_beam_search(
                 if c == last:
                     # repeated symbol, no blank between: same prefix —
                     # NEVER lexicon-gated (the prefix does not grow)
-                    nb = get(prefix, beam)
+                    nb = get(prefix, beam, next_beams)
                     nb.p_nb = _logaddexp(nb.p_nb, beam.p_nb + p_c)
                     # blank-separated repeat: extended prefix from p_b only
                     ext = prefix + (c,)

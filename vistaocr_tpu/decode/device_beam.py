@@ -208,6 +208,9 @@ def beam_scan(
     # Character-bypass (<unk>) escape: lex_next must carry the appended
     # unk row (Lexicon.dense_tables(unk=True)); its index is N-1.
     use_unk = use_lex and lex_unk_logp != 0.0
+    if lex_unk_logp > 0.0:  # a positive value would be an OOV *bonus*
+        raise ValueError(
+            f"lex_unk_logp must be <= 0; got {lex_unk_logp}")
     if use_unk:
         U_NODE = lex_next.shape[0] - 1
         UNKP = jnp.float32(lex_unk_logp)

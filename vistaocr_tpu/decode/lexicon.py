@@ -140,7 +140,9 @@ class Lexicon:
         per-char penalty there (beam_scan's ``lex_unk_logp``)."""
         import numpy as np
 
-        cache = getattr(self, "_dense_cache", None) or {}
+        cache = getattr(self, "_dense_cache", None)
+        if not isinstance(cache, dict):  # legacy tuple-shaped cache
+            cache = {}
         if unk in cache:
             return cache[unk]
         N = len(self._children)

@@ -28,6 +28,10 @@ LOG10 = math.log(10.0)
 BOS = "<s>"
 EOS = "</s>"
 UNK = "<unk>"
+# Floor for a token with no unigram entry and no <unk> row — shared by
+# ArpaLM._logp_backoff and word_unk_logp so the <unk>-word completion
+# score can never silently diverge from host LM scoring (advisor r4).
+LOGP_FLOOR = -20.0
 
 
 class ArpaLM:
@@ -59,7 +63,7 @@ class ArpaLM:
             return ent[0]
         if not hist:
             unk = self._lookup((UNK,))
-            return unk[0] if unk else -20.0
+            return unk[0] if unk else LOGP_FLOOR
         bo = self._lookup(hist)
         backoff = bo[1] if bo else 0.0
         return backoff + self._logp_backoff(hist[1:], token)
@@ -425,12 +429,12 @@ def device_word_tables(word_lm: "ArpaLM", words) -> dict:
 def word_unk_logp(word_lm: Optional["ArpaLM"]) -> float:
     """The <unk>-word completion score all three engines share when the
     lexicon character-bypass completes an out-of-lexicon word under a
-    word LM: the LM's <unk> unigram when present, else the same -20
-    floor ArpaLM's backoff lookup bottoms out at."""
+    word LM: the LM's <unk> unigram when present, else the same
+    LOGP_FLOOR ArpaLM's backoff lookup bottoms out at."""
     if word_lm is None:
         return 0.0
     ent = word_lm._lookup((UNK,))
-    return ent[0] if ent else -20.0
+    return ent[0] if ent else LOGP_FLOOR
 
 
 def train_char_lm(

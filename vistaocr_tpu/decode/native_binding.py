@@ -200,6 +200,9 @@ def beam_decode_batch_native(
         rc = lib.vo_beam_decode_batch(*common, *outs)
     else:
         use_unk = lex_unk_logp != 0.0
+        if lex_unk_logp > 0.0:  # would be an OOV *bonus*, not a penalty
+            raise ValueError(
+                f"lex_unk_logp must be <= 0; got {lex_unk_logp}")
         next_tbl, boundary = lexicon.dense_tables(unk=use_unk)
         next_tbl = np.ascontiguousarray(next_tbl, np.int32)
         boundary = np.ascontiguousarray(boundary, np.uint8)

@@ -156,6 +156,18 @@ def main(argv=None):
                         "(bigram on device with --lexicon)")
     p.add_argument("--word-lm-alpha", type=float, default=0.5)
     p.add_argument("--word-lm-beta", type=float, default=0.0)
+    p.add_argument("--lex-unk-logp", type=float, default=0.0,
+                   metavar="NEGLOGP",
+                   help="open-vocabulary serving: per-character log "
+                        "penalty for words outside --lexicon (e.g. -2.5; "
+                        "0 keeps the HARD constraint, which round 4 "
+                        "measured 2-4x WORSE than greedy at any nonzero "
+                        "OOV rate — see docs/decoding.md 'Open "
+                        "vocabulary in the service')")
+    p.add_argument("--quantize", choices=("none", "int8"), default="none",
+                   help="int8: serve the snapshot's shipped quantized "
+                        "conv stack (qstack.msgpack; write it once with "
+                        "python -m vistaocr_tpu.models.quant)")
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--no-device-resize", action="store_true",
@@ -177,12 +189,14 @@ def main(argv=None):
             lm_alpha=args.lm_alpha if args.lm else 0.0,
             word_lm_alpha=args.word_lm_alpha if args.word_lm else 0.0,
             word_lm_beta=args.word_lm_beta,
+            lex_unk_logp=args.lex_unk_logp if args.lexicon else 0.0,
         ),
         lm_path=args.lm,
         lexicon_path=args.lexicon,
         word_lm_path=args.word_lm,
         device_resize=not args.no_device_resize,
         warmup=not args.no_warmup,
+        quantize=args.quantize,
     )
     serve(args.snapshot, args.port, args.host, cfg)
 
