@@ -41,14 +41,17 @@ RECORDED_BANDS = {
     # keeps the low honestly but it is session skew, not a regression.
     "service beam (device)": (1800, 2605, 5),
     "service beam+LM (fused)": (1412, 1516, 4),
-    # r04 builder 1157, r04 driver 1123, three round-5 fenced runs
-    # 1161-1212 (docs/design.md round-5 ledger)
-    "service beam+4gramLM (fused)": (1123, 1212, 5),
+    # r04 builder 1157, r04 driver 1123, r05 builder 1027 (a slow-
+    # service-session sample like the beam 1800 case: the same run's
+    # other rows sat mid-band, so kept honestly but not representative)
+    "service beam+4gramLM (fused)": (1027, 1157, 3),
+    # r03 driver 1377, r04 builder 1624, r04 driver 1646
     "service beam+lexicon+wordLM": (1377, 1646, 4),
-    # round-5 rows (n accumulates as fenced runs land; see design.md)
-    "service greedy int8": (3214, 3412, 3),
-    "submit mb=32": (1606, 2024, 3),
-    "submit mb=128": (1606, 2024, 3),
+    # Round-5 rows (greedy int8, submit mb=32/128 under the steady-state
+    # protocol) intentionally have NO recorded band yet: zero fenced
+    # samples exist under the current protocol ("no recorded band yet"
+    # is the truthful print). They are added with real (lo, hi, n) as
+    # fenced runs land in docs/design.md's round-5 ledger.
 }
 
 
