@@ -155,8 +155,14 @@ def main():
         train_char_lm(sentences, order=2).write_arpa(wlm_path)
     lex_path = os.path.join(args.out, "lexicon.txt")
     if not os.path.exists(lex_path):
+        # The decode space is the STORED transcript space: display order
+        # for RTL corpora (text/bidi.py; a pure-RTL word's display form
+        # is its reversed char sequence). The word LMs above are already
+        # consistent (trained on stored transcripts).
+        from vistaocr_tpu.text.bidi import display_order
+
         with open(lex_path, "w") as f:
-            f.write("\n".join(train_words))
+            f.write("\n".join(display_order(w) for w in train_words))
 
     snap = os.path.join(run_dir, "best")
     quiet = dict(log=lambda *a: None)

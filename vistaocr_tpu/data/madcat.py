@@ -16,11 +16,15 @@ releases: <zone><line id=...><coords points="x,y x,y ..."/>
 variants (points vs x/y child elements).
 
 Arabic normalization policy (SURVEY.md hard-part #5 — EXPLICIT, tested):
-- tokens are joined with a single space in XML document order. MADCAT
-  token order within a line IS the logical (reading) order, so no
-  reordering happens here; uxxxx encoding preserves logical order, which
-  is what CER is computed over (the rebuild and reference must simply
-  agree — flags below make the policy auditable);
+- tokens are joined with a single space in XML document order (MADCAT
+  token order within a line IS the logical reading order), then the line
+  is converted to DISPLAY order (``display_order=True`` default,
+  text/bidi.py): CTC labels must be in scan order, and round 5 measured
+  the cost of training on logical-order RTL labels (flat 76% CER in the
+  open-vocab hard regime — docs/design.md "Round 5: RTL display
+  order"). CER over display order equals CER over logical order for
+  pure-RTL lines (edit distance is reversal-invariant); pass
+  ``--logical-order`` to reproduce the pre-round-5 store;
 - optional diacritic stripping (``strip_diacritics``): removes Arabic
   harakat (U+064B..U+0652, U+0670), default OFF;
 - optional presentation-form folding (``fold_presentation``): NFKC on
@@ -62,6 +66,15 @@ class ArabicPolicy:
     strip_diacritics: bool = False
     fold_presentation: bool = True
     remove_tatweel: bool = True
+    # Store transcripts in DISPLAY order (text/bidi.display_order): CTC
+    # labels must be in scan order, and an RTL line's scan order is the
+    # reverse of its logical order. Round 5 measured the cost of logical
+    # labels (the pre-round-5 default): a line-global reversal the BLSTM
+    # must learn — flat 76% CER in the Arabic open-vocab hard regime,
+    # ~2-5x CER tax even on closed vocabularies (docs/design.md "Round
+    # 5: RTL display order"). display_order(hyp) restores logical order
+    # for reporting; CER is reversal-invariant for pure-RTL lines.
+    display_order: bool = True
 
     def apply(self, text: str) -> str:
         if self.fold_presentation:
@@ -75,7 +88,12 @@ class ArabicPolicy:
             text = text.replace(_TATWEEL, "")
         if self.strip_diacritics:
             text = "".join(ch for ch in text if ch not in _DIACRITICS)
-        return " ".join(text.split())  # collapse whitespace
+        text = " ".join(text.split())  # collapse whitespace
+        if self.display_order:
+            from ..text.bidi import display_order
+
+            text = display_order(text)
+        return text
 
 
 def _parse_points(line_el) -> Optional[np.ndarray]:
@@ -216,12 +234,17 @@ def main(argv=None):
     p.add_argument("--max-width", type=int, default=2048)
     p.add_argument("--strip-diacritics", action="store_true")
     p.add_argument("--keep-tatweel", action="store_true")
+    p.add_argument("--logical-order", action="store_true",
+                   help="store logical-order transcripts (pre-round-5 "
+                        "behavior; trains a line-global reversal into "
+                        "the model — see ArabicPolicy.display_order)")
     args = p.parse_args(argv)
     prepare_madcat(
         args.madcat_root, args.out, height=args.height, max_width=args.max_width,
         policy=ArabicPolicy(
             strip_diacritics=args.strip_diacritics,
             remove_tatweel=not args.keep_tatweel,
+            display_order=not args.logical_order,
         ),
     )
 

@@ -193,7 +193,20 @@ class SynthConfig:
     punct_prob: float = 0.0  # per-token prob of attached punctuation
     oov_words: Optional[Sequence[str]] = None  # held-out vocabulary
     oov_rate: float = 0.0  # per-token prob of drawing from oov_words
+    # Transcript ordering policy at PREP time (text/bidi.py): CTC labels
+    # must be in scan order, so RTL corpora store display-order
+    # transcripts (the reference-era MADCAT convention, SURVEY C4).
+    # None = auto: True for ar/fa, False otherwise. The round-5 Arabic
+    # hard run sat FLAT at 76% CER on logical-order labels (vs 5.8%
+    # same-protocol English) — see docs/design.md "Round 5: RTL display
+    # order".
+    display_order: Optional[bool] = None
     fonts: Sequence[str] = field(default_factory=_find_fonts)
+
+    def stores_display_order(self) -> bool:
+        if self.display_order is not None:
+            return self.display_order
+        return self.language in ("ar", "fa")
 
 
 # Tuned handwriting-like degradation knobs (used by the corpus-scale
@@ -435,15 +448,22 @@ def build_synthetic_dataset(
             continue
         gen = SyntheticLineGenerator(cfg, seed=seed * 1000 + split_i)
         writer = ShardWriter(dataset_dir, split, height)
+        to_display = cfg.stores_display_order()
+        if to_display:
+            from ..text.bidi import display_order as _disp
         for i in range(n):
             img, text = gen.sample(height, max_width=max_width)
+            if to_display:
+                text = _disp(text)
             writer.add(f"{split}-{i:06d}", img, utf8_to_uxxxx(text))
         splits[split] = writer.close()
     write_manifest(
         dataset_dir,
         height,
         splits,
-        extra={"source": "synthetic", "language": cfg.language, "seed": seed},
+        extra={"source": "synthetic", "language": cfg.language, "seed": seed,
+               "transcript_order": (
+                   "display" if cfg.stores_display_order() else "logical")},
     )
     return dataset_dir
 
