@@ -150,11 +150,22 @@ class TestMadcat:
         assert "ـ" in out2
 
     def test_policy_presentation_folding(self):
-        # U+FEFB (LAM-ALEF ligature presentation form) -> base forms
-        p = ArabicPolicy(fold_presentation=True)
+        # U+FEFB (LAM-ALEF ligature presentation form) -> base forms;
+        # display_order=False isolates the folding step from the round-5
+        # scan-order conversion (tested separately below)
+        p = ArabicPolicy(fold_presentation=True, display_order=False)
         assert p.apply("ﻻ") == "لا"
-        p_off = ArabicPolicy(fold_presentation=False)
+        p_off = ArabicPolicy(fold_presentation=False, display_order=False)
         assert p_off.apply("ﻻ") == "ﻻ"
+
+    def test_policy_display_order_default(self):
+        # round 5: stored transcripts are scan-order (display order) —
+        # CTC monotonicity; see text/bidi.py and docs/design.md
+        from vistaocr_tpu.text.bidi import display_order
+
+        logical = "السلام عليكم"
+        assert ArabicPolicy().apply(logical) == display_order(logical)
+        assert ArabicPolicy().apply(logical) != logical
 
     def test_prepare_end_to_end(self, madcat_fixture, tmp_path):
         out = str(tmp_path / "ds")
@@ -165,7 +176,12 @@ class TestMadcat:
         ds = ShardedLineDataset(out, "train")
         assert len(ds) == 2
         texts = [uxxxx_to_utf8(t) for t in ds.transcripts()]
-        assert "السلام عليكم" in texts
+        # stored transcripts are DISPLAY order (round 5; scan-order CTC
+        # labels); display_order() recovers the logical reading form
+        from vistaocr_tpu.text.bidi import display_order
+
+        assert display_order("السلام عليكم") in texts
+        assert "السلام عليكم" not in texts
         rec = ds[0]
         assert rec.image.shape[0] == 32
         assert rec.image.min() < 120  # ink present after crop+normalize
