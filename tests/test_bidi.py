@@ -91,3 +91,14 @@ class TestPrepIntegration:
         logical = "كتاب مدرسة"
         assert ArabicPolicy().apply(logical) == display_order(logical)
         assert ArabicPolicy(display_order=False).apply(logical) == logical
+
+    def test_line_result_logical_text(self):
+        from vistaocr_tpu.serve.service import LineResult
+
+        disp = display_order("كتاب مدرسة")
+        r = LineResult(text=disp, uxxxx="", latency_ms=1.0,
+                       bucket_width=128)
+        assert r.logical_text == "كتاب مدرسة"
+        r_en = LineResult(text="hello", uxxxx="", latency_ms=1.0,
+                          bucket_width=128)
+        assert r_en.logical_text == "hello"

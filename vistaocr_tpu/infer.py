@@ -23,6 +23,8 @@ from .checkpoint import load_model
 from .data.pipeline import BatchPipeline
 from .data.shards import ShardedLineDataset
 from .text import cer_wer, uxxxx_to_utf8
+from .text.bidi import display_order as _bidi_display
+from .text.bidi import is_rtl_line as _bidi_is_rtl
 from .train import make_eval_step
 
 
@@ -595,13 +597,18 @@ def run_inference(
             for n, (lid, hyp, ref, conf) in enumerate(
                 zip(ids, hyps, refs, confs)
             ):
+                hyp_text = uxxxx_to_utf8(hyp)
                 rec = {
                     "id": lid,
                     "hyp_uxxxx": hyp,
-                    "hyp_text": uxxxx_to_utf8(hyp),
+                    "hyp_text": hyp_text,
                     "ref_uxxxx": ref,
                     "conf": round(conf, 5) if conf is not None else None,
                 }
+                if _bidi_is_rtl(hyp_text):
+                    # RTL models emit scan-order text (text/bidi.py,
+                    # round 5); ship the reading-order form alongside
+                    rec["hyp_text_logical"] = _bidi_display(hyp_text)
                 if nbest_lists:
                     rec["nbest"] = [
                         {"hyp_uxxxx": h, "hyp_text": uxxxx_to_utf8(h),

@@ -85,7 +85,7 @@ def make_handler(service: OcrService):
 
         @staticmethod
         def _result_payload(result):
-            return {
+            payload = {
                 "text": result.text,
                 "uxxxx": result.uxxxx,
                 "latency_ms": round(result.latency_ms, 2),
@@ -93,6 +93,10 @@ def make_handler(service: OcrService):
                 "confidence": (round(result.confidence, 5)
                                if result.confidence is not None else None),
             }
+            logical = result.logical_text
+            if logical != result.text:  # RTL model: scan-order output
+                payload["text_logical"] = logical
+            return payload
 
         def _do_batch(self):
             import time as _time

@@ -149,6 +149,16 @@ class LineResult:
     # already downloads.
     confidence: Optional[float] = None
 
+    @property
+    def logical_text(self) -> str:
+        """Reading-order text. Models trained on RTL corpora emit
+        scan-order (display-order) transcripts (text/bidi.py, round 5);
+        this converts back for human-facing use. LTR output passes
+        through unchanged, so it is always safe to read."""
+        from ..text.bidi import display_order
+
+        return display_order(self.text)
+
 
 @dataclasses.dataclass
 class _Pending:
