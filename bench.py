@@ -567,6 +567,30 @@ def main():
                 "steady_lines": tot_n,
                 "cold": cold,
             }
+            # Paced-arrival latency probe (round 5): the flood's p99 is a
+            # throughput number in disguise — an instantaneous 384-line
+            # burst at throughput T bounds the last line's latency below
+            # by 384/T (~330 ms at the measured mb=128 rate), so "flood
+            # p99 < 300 ms" is mathematically unreachable. Real tail
+            # latency is measured under arrivals the service can absorb:
+            # one client paced at 70% of the measured flood throughput;
+            # p50/p99 then reflect service time + max_wait batching +
+            # residual queueing only.
+            rate = max(50.0, 0.7 * lps)
+            n_paced = 768
+            fs, t0 = [], time.time()
+            for i in range(n_paced):
+                target = t0 + i / rate
+                now = time.time()
+                if target > now:
+                    time.sleep(target - now)
+                fs.append(svc_o.submit(sub[i % len(sub)]))
+            plat = [f.result(timeout=300).latency_ms for f in fs]
+            submit_stats[f"submit_mb{mb}"]["paced"] = {
+                "rate_lines_per_sec": round(rate, 1),
+                "p50_ms": round(float(_np.percentile(plat, 50)), 1),
+                "p99_ms": round(float(_np.percentile(plat, 99)), 1),
+            }
             svc_o.close()
             _log(f"submit mb={mb}: {submit_stats[f'submit_mb{mb}']} "
                  f"({_band_note(f'submit mb={mb}', lps)})")
