@@ -34,24 +34,26 @@ NOMINAL_REFERENCE_LINES_PER_SEC = 1000.0
 # band). Each service metric prints where the current run landed so
 # drift is visible run-over-run.
 RECORDED_BANDS = {
-    "service greedy": (2211, 3318, 5),
+    "service greedy": (2211, 3318, 7),
     # 1800 observed once in a round-4 builder run whose whole service
     # section ran slow (submit mb128 880 vs 1563); an immediate fresh-
     # process re-probe of the same snapshot read 2482-2605, so the band
     # keeps the low honestly but it is session skew, not a regression.
-    "service beam (device)": (1800, 2605, 5),
-    "service beam+LM (fused)": (1412, 1516, 4),
+    "service beam (device)": (1800, 2605, 7),
+    "service beam+LM (fused)": (1412, 1516, 6),
     # r04 builder 1157, r04 driver 1123, r05 builder 1027 (a slow-
     # service-session sample like the beam 1800 case: the same run's
-    # other rows sat mid-band, so kept honestly but not representative)
-    "service beam+4gramLM (fused)": (1027, 1157, 3),
-    # r03 driver 1377, r04 builder 1624, r04 driver 1646
-    "service beam+lexicon+wordLM": (1377, 1646, 4),
-    # Round-5 rows (greedy int8, submit mb=32/128 under the steady-state
-    # protocol) intentionally have NO recorded band yet: zero fenced
-    # samples exist under the current protocol ("no recorded band yet"
-    # is the truthful print). They are added with real (lo, hi, n) as
-    # fenced runs land in docs/design.md's round-5 ledger.
+    # other rows sat mid-band, so kept honestly but not representative),
+    # r05 fenced runs A/B 1078/1123
+    "service beam+4gramLM (fused)": (1027, 1157, 5),
+    # r03 driver 1377, r04 builder 1624, r04 driver 1646, r05 A 1650
+    "service beam+lexicon+wordLM": (1377, 1650, 6),
+    # Round-5 rows: samples = fenced runs A/B this round (docs/design.md
+    # round-5 ledger); provisional until a third sample lands.
+    "service 50k L.G": (1150, 1201, 2),
+    "service greedy int8": (2261, 2521, 2),
+    "submit mb=32": (700, 1061, 2),
+    "submit mb=128": (1155, 1252, 2),
 }
 
 
@@ -425,8 +427,12 @@ def main():
                 "".join(rng50.choice(list(letters), rng50.integers(3, 10)))
                 for _ in range(70000)
             }
+            # sorted() before islice: set iteration order is process-
+            # random, and a different 50k subset changes the trie node
+            # count — new table SHAPES, so every per-bucket graph
+            # recompiles instead of hitting the persistent cache
             big_words = sorted(set(words) | set(
-                itertools.islice(iter(fillers), 50000)))
+                itertools.islice(iter(sorted(fillers)), 50000)))
             wl50_path = os.path.join(snap, "bench_words50k.txt")
             with open(wl50_path, "w") as f:
                 f.write("\n".join(big_words))
