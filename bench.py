@@ -40,20 +40,23 @@ RECORDED_BANDS = {
     # process re-probe of the same snapshot read 2482-2605, so the band
     # keeps the low honestly but it is session skew, not a regression.
     "service beam (device)": (1800, 2605, 7),
-    "service beam+LM (fused)": (1412, 1516, 6),
+    # r05 fenced run C read 1409 — 0.2% under the old 1412 low; folded.
+    "service beam+LM (fused)": (1409, 1516, 7),
     # r04 builder 1157, r04 driver 1123, r05 builder 1027 (a slow-
     # service-session sample like the beam 1800 case: the same run's
     # other rows sat mid-band, so kept honestly but not representative),
     # r05 fenced runs A/B 1078/1123
-    "service beam+4gramLM (fused)": (1027, 1157, 5),
+    "service beam+4gramLM (fused)": (1027, 1157, 6),
     # r03 driver 1377, r04 builder 1624, r04 driver 1646, r05 A 1650
-    "service beam+lexicon+wordLM": (1377, 1650, 6),
-    # Round-5 rows: samples = fenced runs A/B this round (docs/design.md
-    # round-5 ledger); provisional until a third sample lands.
-    "service 50k L.G": (1150, 1201, 2),
-    "service greedy int8": (2261, 2521, 2),
-    "submit mb=32": (700, 1061, 2),
-    "submit mb=128": (1155, 1252, 2),
+    "service beam+lexicon+wordLM": (1377, 1650, 7),
+    # Round-5 rows: samples = fenced runs A/B/C this round
+    # (docs/design.md round-5 ledger).
+    "service 50k L.G": (1150, 1201, 3),
+    "service greedy int8": (2261, 2521, 3),
+    # mb=32 run A read 700 with every submit row in the same session low
+    # (relay-session skew, the beam-1800 pattern); run C read 1577.
+    "submit mb=32": (700, 1577, 3),
+    "submit mb=128": (1155, 1345, 3),
 }
 
 
@@ -444,8 +447,8 @@ def main():
             ))
             assert "word_uni" in svc_lg50._lex_kw, (
                 "50k-word service did not take the hashed word path")
-            _log(f"50k-word L.G service init (trie + hashed tables + "
-                 f"warmup): {time.time()-t0:.1f}s, vocab "
+            _log(f"50k-word L.G service init: {time.time()-t0:.1f}s "
+                 f"(breakdown {svc_lg50.init_timings}), vocab "
                  f"{len(big_words)}")
             svc_lg50.ocr_lines(imgs)  # untimed warm pass
             t0 = time.time()

@@ -183,6 +183,7 @@ class OcrService:
         from ..runtime import enable_compile_cache
 
         enable_compile_cache()
+        _t_init = time.time()
         self.config = config
         self.model, self.variables, self.alphabet, self.contract = load_model(
             snapshot
@@ -331,6 +332,7 @@ class OcrService:
                 return jax.device_put(x, replicated(self._mesh))
             return jax.device_put(x)
 
+        _t_tables = time.time()
         use_unk = (config.lexicon_path is not None
                    and getattr(config.beam, "lex_unk_logp", 0.0) != 0.0)
         if config.lexicon_path and config.decoder == "beam":
@@ -404,6 +406,7 @@ class OcrService:
                     lm_rows=_put_table(tabs["rows"]),
                     lm_probes=int(tabs["probes"]),
                 )
+        _tables_s = time.time() - _t_tables
         self._beam_all = want_lm and self._lm_table is None
         if self._lex_kw and want_lm and self._lm_table is None:
             raise ValueError(
@@ -515,8 +518,19 @@ class OcrService:
         self.stats = {"lines": 0, "batches": 0, "pad_waste": 0}
         for t in self._threads:
             t.start()
+        _t_warm = time.time()
         if config.warmup:
             self._warmup()
+        # Init-cost breakdown (ledger evidence: the big-lexicon service's
+        # startup is warmup compiles/dispatches, NOT host table building
+        # — a 50k-word trie + hashed Katz tables build in <1 s on host).
+        self.init_timings = {
+            "load_s": round(_t_tables - _t_init, 3),
+            "tables_s": round(_tables_s, 3),
+            "warmup_s": round(time.time() - _t_warm, 3),
+            "warmup_graphs": (len(self.contract.bucket_widths)
+                              * len(self._batch_sizes)),
+        }
 
     # ---- client API ---------------------------------------------------------
     def _prep(self, image) -> _Pending:
