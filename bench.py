@@ -294,6 +294,7 @@ def main():
     svc_lps = svc_beam_lps = 0.0
     svc_lm_fused_lps = svc_lm_2pass_lps = svc_lg_lps = 0.0
     svc_lm4_fused_lps = svc_lg50_lps = 0.0
+    init_50k = {}
     if os.environ.get("BENCH_SERVICE", "1") == "1":
         import tempfile
 
@@ -447,7 +448,9 @@ def main():
             ))
             assert "word_uni" in svc_lg50._lex_kw, (
                 "50k-word service did not take the hashed word path")
-            _log(f"50k-word L.G service init: {time.time()-t0:.1f}s "
+            init_50k = dict(svc_lg50.init_timings,
+                            total_s=round(time.time() - t0, 1))
+            _log(f"50k-word L.G service init: {init_50k['total_s']}s "
                  f"(breakdown {svc_lg50.init_timings}), vocab "
                  f"{len(big_words)}")
             svc_lg50.ocr_lines(imgs)  # untimed warm pass
@@ -625,6 +628,7 @@ def main():
             "eval_int8_lines_per_sec_per_chip": round(eval_int8_lps, 1),
             "service_beam_50k_lexicon_wordlm_lines_per_sec_per_chip":
                 round(svc_lg50_lps, 1),
+            **({"init_50k": init_50k} if init_50k else {}),
             "chips": n_chips,
             "timed_steps": TIMED_STEPS,
             "compute_dtype": "bfloat16",
