@@ -87,6 +87,21 @@ class TestService:
         finally:
             svc.close()
 
+    def test_init_timings_recorded(self, snapshot):
+        """init_timings attributes the startup cost (ledger evidence:
+        the 50k L.G init is warmup compiles, not host table builds)."""
+        snap, _ = snapshot
+        svc = OcrService(snap, ServiceConfig(max_batch=8, warmup=False))
+        try:
+            t = svc.init_timings
+            assert set(t) == {"load_s", "tables_s", "warmup_s",
+                              "warmup_graphs"}
+            assert t["warmup_s"] == 0.0  # warmup=False pays nothing
+            assert t["warmup_graphs"] == (
+                len(svc.contract.bucket_widths) * len(svc._batch_sizes))
+        finally:
+            svc.close()
+
     def test_odd_height_input_normalized(self, snapshot):
         snap, _ = snapshot
         svc = OcrService(snap, ServiceConfig(max_batch=2, warmup=False))
