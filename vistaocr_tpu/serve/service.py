@@ -718,16 +718,34 @@ class OcrService:
         """Compile every bucket graph up front so first requests aren't
         paying compile latency — the WHOLE path including the decoder's
         device graphs (greedy collapse / device beam scan / beam top-k),
-        which otherwise compile inside the first real request per bucket."""
-        for i, bw in enumerate(self.contract.bucket_widths):
+        which otherwise compile inside the first real request per bucket.
+
+        The per-(bucket, rung) graphs warm from a thread pool: the
+        per-graph wall time is compile/cache-load wait on the relay's
+        far side, not client CPU, so overlapping them wins big —
+        measured on the 50,127-word L∘G service (24 graphs, single
+        v5e, warm persistent cache): 291 s serial → 46 s with 6
+        threads (6.3x). jit first-call compilation is thread-safe;
+        executions serialize on the backend as usual."""
+        jobs = [(i, B) for i in range(len(self.contract.bucket_widths))
+                for B in self._batch_sizes]
+
+        def _warm_one(job):
+            i, B = job
             spec = BucketSpec.of(self.contract, i)
-            for B in self._batch_sizes:
-                images = np.zeros((B, spec.height, spec.width), np.uint8)
-                widths = np.full((B,), spec.width, np.int32)
-                # Host finalize on one sample is enough — the device
-                # graphs (the compile cost) cover the batch shape anyway.
-                valid = np.arange(B) < 1
-                self._finalize(self._dispatch(images, widths), valid, 1)
+            images = np.zeros((B, spec.height, spec.width), np.uint8)
+            widths = np.full((B,), spec.width, np.int32)
+            # Host finalize on one sample is enough — the device
+            # graphs (the compile cost) cover the batch shape anyway.
+            valid = np.arange(B) < 1
+            self._finalize(self._dispatch(images, widths), valid, 1)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(6, len(jobs))) as ex:
+            # list() so the first compile failure raises here, not on a
+            # live request
+            list(ex.map(_warm_one, jobs))
 
     def _bucket_loop(self, bucket_idx: int):
         """Online worker: assemble → dispatch up to ``pipeline_depth``
