@@ -159,6 +159,57 @@ class TestQuantizedPath:
             quant.calibrate_in_scales(kern, bias, model.config, [])
 
 
+class TestFloatPrefix:
+    """Mixed-precision int8 (round 5): the first N convs run the folded
+    FLOAT kernels, the rest int8 — the activation round/clip is most
+    expensive at full resolution where the MXU int8 win is smallest."""
+
+    def test_full_prefix_equals_folded_float(self, trained):
+        data, snap = trained
+        model, variables, alphabet, contract = load_model(snap)
+        b = _one_batch(model, alphabet, contract, data)
+        qstack = quant.quantize_model(
+            model, variables, [(b.images, b.widths)])
+        n_convs = sum(st.num_convs for st in model.config.stages)
+        kern, bias = quant.fold_conv_params(
+            variables["params"], variables["batch_stats"], model.config)
+        ref = quant.folded_conv_features(
+            kern, bias, b.images, b.widths, model.config)
+        mixed = quant.quantized_conv_features(
+            qstack, b.images, b.widths, model.config,
+            float_prefix=n_convs)
+        # all-prefix = the folded float path bit-for-bit (same graphs)
+        np.testing.assert_array_equal(np.asarray(mixed), np.asarray(ref))
+
+    def test_partial_prefix_posterior_proximity(self, trained):
+        data, snap = trained
+        model, variables, alphabet, contract = load_model(snap)
+        b = _one_batch(model, alphabet, contract, data)
+        ref_lp, ref_fm = model.apply(variables, b.images, b.widths,
+                                     train=False)
+        qstack = quant.quantize_model(
+            model, variables, [(b.images, b.widths)])
+        step = quant.make_quantized_eval_step(model, qstack,
+                                              float_prefix=2)
+        lp, fm = step(variables["params"], variables["batch_stats"],
+                      b.images, b.widths)
+        assert bool(jnp.all(fm == ref_fm))
+        # a float prefix can only reduce quantization error vs all-int8
+        dprob = float(jnp.max(jnp.abs(jnp.exp(lp) - jnp.exp(ref_lp))))
+        assert dprob < 0.15, f"mixed posteriors drifted: {dprob}"
+
+    def test_prefix_needs_fkernels(self, trained):
+        data, snap = trained
+        model, variables, alphabet, contract = load_model(snap)
+        b = _one_batch(model, alphabet, contract, data)
+        qstack = quant.quantize_model(
+            model, variables, [(b.images, b.widths)])
+        legacy = {k: v for k, v in qstack.items() if k != "fkernels"}
+        with pytest.raises(ValueError, match="fkernels"):
+            quant.quantized_conv_features(
+                legacy, b.images, b.widths, model.config, float_prefix=1)
+
+
 class TestInferIntegration:
     def test_greedy_cer_survives_int8(self, trained):
         """The product gate: --quantize int8 must not move greedy CER
@@ -195,7 +246,8 @@ class TestQstackArtifact:
             model, variables,
             quant.calibration_batches(data, snap, calib_batches=2,
                                       batch_pixels=2**17))
-        for key in ("kernels", "wscales", "biases", "in_scales"):
+        for key in ("kernels", "fkernels", "wscales", "biases",
+                    "in_scales"):
             assert len(loaded[key]) == len(live[key])
             for a, b in zip(loaded[key], live[key]):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

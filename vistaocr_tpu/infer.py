@@ -177,6 +177,7 @@ def run_inference(
     word_lm_alpha: float = 0.5,
     word_lm_beta: float = 0.0,
     quantize: str = "none",  # "none" | "int8" (PTQ conv stack, models/quant.py)
+    quantize_float_prefix: int = 0,  # first N convs stay float (mixed int8)
     calib_batches: int = 4,
     log=print,
 ) -> dict:
@@ -243,7 +244,8 @@ def run_inference(
             qstack = jax.device_put(quantize_model(model, variables, calib))
             log(f"int8 PTQ: conv stack quantized "
                 f"(calibrated over {len(calib)} train batches)")
-        eval_step = make_quantized_eval_step(model, qstack)
+        eval_step = make_quantized_eval_step(
+            model, qstack, float_prefix=quantize_float_prefix)
 
     lexicon = None
     if lexicon_path:
@@ -665,6 +667,11 @@ def main(argv=None):
                         "(BN-folded per-channel int8 weights, calibrated "
                         "activation scales; ~1.3x conv forward on v5e — "
                         "models/quant.py)")
+    p.add_argument("--quantize-float-prefix", type=int, default=0,
+                   help="with --quantize int8: keep the first N convs "
+                        "in float (mixed precision; the full-resolution "
+                        "stage pays the activation round/clip hardest "
+                        "while gaining the least from int8 MACs)")
     p.add_argument("--calib-batches", type=int, default=4,
                    help="with --quantize: calibration batches drawn from "
                         "the split before eval")
@@ -686,6 +693,7 @@ def main(argv=None):
         word_lm_alpha=args.word_lm_alpha,
         word_lm_beta=args.word_lm_beta,
         quantize=args.quantize,
+        quantize_float_prefix=args.quantize_float_prefix,
         calib_batches=args.calib_batches,
     )
 

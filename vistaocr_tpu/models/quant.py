@@ -153,7 +153,11 @@ def calibrate_in_scales(
 def quantize_conv_stack(kernels, biases, in_scales) -> dict:
     """Per-output-channel symmetric int8 weights + frozen input scales.
     Returns a plain pytree (jit-friendly): kernels int8, wscales f32
-    [co], biases f32 [co], in_scales f32 scalars."""
+    [co], biases f32 [co], in_scales f32 scalars. The folded FLOAT
+    kernels ride along (``fkernels``, ~2 MB at flagship size) so a
+    mixed-precision prefix (``float_prefix`` in
+    ``quantized_conv_features``) can be chosen at serve time without
+    re-calibration."""
     qk, ws = [], []
     for k in kernels:
         s = jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0 + 1e-12
@@ -161,6 +165,7 @@ def quantize_conv_stack(kernels, biases, in_scales) -> dict:
         ws.append(s.astype(jnp.float32))
     return {
         "kernels": tuple(qk),
+        "fkernels": tuple(jnp.asarray(k, jnp.float32) for k in kernels),
         "wscales": tuple(ws),
         "biases": tuple(jnp.asarray(b, jnp.float32) for b in biases),
         "in_scales": tuple(
@@ -168,29 +173,53 @@ def quantize_conv_stack(kernels, biases, in_scales) -> dict:
     }
 
 
-def quantized_conv_features(qstack, images, widths, config: ModelConfig):
+def quantized_conv_features(qstack, images, widths, config: ModelConfig,
+                            *, float_prefix: int = 0):
     """int8 conv feature extractor: quantize input with the FROZEN
     per-conv scale, int8 x int8 conv accumulating int32 on the MXU,
-    dequantize + bias + relu in the compute dtype."""
+    dequantize + bias + relu in the compute dtype.
+
+    ``float_prefix``: run the first N convs with the folded FLOAT
+    kernels instead. The activation quantize (round/clip at input
+    resolution) is most expensive exactly where the MXU's int8 win is
+    smallest — the pre-pool full-resolution stage — so a mixed stack
+    can beat both all-float and all-int8 at small (service) batch
+    shapes. Requires a qstack with ``fkernels`` (always written since
+    round 5)."""
     dtype = config.dtype
+    if float_prefix and "fkernels" not in qstack:
+        raise ValueError(
+            "float_prefix needs a qstack with folded float kernels "
+            "(re-create qstack.msgpack; older artifacts lack 'fkernels')"
+        )
     x = preprocess_images(
         images, widths, standardize=config.standardize_input, dtype=dtype)
     i = 0
     for si, st in enumerate(config.stages):
         for _ in range(st.num_convs):
-            s_in = qstack["in_scales"][i]
-            xq = jnp.clip(
-                jnp.round(x.astype(jnp.float32) * (1.0 / s_in)), -127, 127
-            ).astype(jnp.int8)
-            y = jax.lax.conv_general_dilated(
-                xq, qstack["kernels"][i], (1, 1), "SAME",
-                dimension_numbers=_DN,
-                preferred_element_type=jnp.int32,
-            )
-            x = jax.nn.relu((
-                y.astype(jnp.float32) * (s_in * qstack["wscales"][i])
-                + qstack["biases"][i]
-            ).astype(dtype))
+            if i < float_prefix:
+                y = jax.lax.conv_general_dilated(
+                    x, qstack["fkernels"][i].astype(dtype), (1, 1), "SAME",
+                    dimension_numbers=_DN, preferred_element_type=dtype,
+                )
+                x = jax.nn.relu(
+                    (y.astype(jnp.float32)
+                     + qstack["biases"][i]).astype(dtype))
+            else:
+                s_in = qstack["in_scales"][i]
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) * (1.0 / s_in)),
+                    -127, 127,
+                ).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    xq, qstack["kernels"][i], (1, 1), "SAME",
+                    dimension_numbers=_DN,
+                    preferred_element_type=jnp.int32,
+                )
+                x = jax.nn.relu((
+                    y.astype(jnp.float32) * (s_in * qstack["wscales"][i])
+                    + qstack["biases"][i]
+                ).astype(dtype))
             i += 1
         x = _pool(x, st.pool, config.conv_pool)
     return x
@@ -282,13 +311,16 @@ def load_qstack(snapshot_dir: str):
             return tuple(v[k] for k in sorted(v, key=int))
         return tuple(v)
 
-    return {
+    out = {
         "kernels": _tup(raw["kernels"]),
         "wscales": _tup(raw["wscales"]),
         "biases": _tup(raw["biases"]),
         "in_scales": tuple(
             jnp.float32(np.asarray(s)) for s in _tup(raw["in_scales"])),
     }
+    if "fkernels" in raw:  # absent in pre-round-5 artifacts
+        out["fkernels"] = _tup(raw["fkernels"])
+    return out
 
 
 def calibration_batches(data_dir: str, snapshot: str, *,
@@ -336,15 +368,18 @@ def quantize_snapshot(snapshot: str, data_dir: str, *,
     return save_qstack(snapshot, qstack)
 
 
-def make_quantized_eval_step(model, qstack):
+def make_quantized_eval_step(model, qstack, *, float_prefix: int = 0):
     """Drop-in replacement for train.make_eval_step: same signature
     (params, batch_stats, images, widths) -> (log_probs, frame_mask);
-    batch_stats is unused (already folded into the int8 kernels)."""
+    batch_stats is unused (already folded into the int8 kernels).
+    ``float_prefix`` selects the mixed mode (see
+    quantized_conv_features)."""
     cfg = model.config
 
     @jax.jit
     def step(params, qs, images, widths):
-        feats = quantized_conv_features(qs, images, widths, cfg)
+        feats = quantized_conv_features(
+            qs, images, widths, cfg, float_prefix=float_prefix)
         return sequence_head_apply(cfg, params, feats, widths)
 
     def eval_step(params, batch_stats, images, widths):

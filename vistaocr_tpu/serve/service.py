@@ -125,6 +125,12 @@ class ServiceConfig:
     # deterministic across service restarts. bridge/BLSTM/head keep the
     # model dtype; logits stay f32. "none" | "int8".
     quantize: str = "none"
+    # Mixed-precision int8: keep the first N convs in float (folded
+    # kernels) and quantize the rest. The activation round/clip is most
+    # expensive at full resolution where the MXU int8 win is smallest,
+    # so a float stage-0 prefix can beat all-int8 at service batch
+    # shapes (see models/quant.quantized_conv_features). 0 = all int8.
+    quantize_float_prefix: int = 0
     warmup: bool = True
     # Serving re-buckets the snapshot's ladder onto serve_align-multiples.
     # Training wants a FINE ladder (padding waste = wasted FLOPs on the
@@ -229,6 +235,12 @@ class OcrService:
                     "dir; create it once with `python -m "
                     "vistaocr_tpu.models.quant --snapshot ... --data ...`"
                 )
+            if config.quantize_float_prefix and "fkernels" not in qs:
+                raise ValueError(
+                    "quantize_float_prefix needs a qstack with folded "
+                    "float kernels — re-create qstack.msgpack (pre-"
+                    "round-5 artifacts lack 'fkernels')"
+                )
             if self._mesh is not None:
                 from ..parallel.mesh import replicated
 
@@ -243,7 +255,8 @@ class OcrService:
             from ..models.quant import make_quantized_eval_step
 
             self._eval_step = make_quantized_eval_step(
-                self.model, self._qstack)
+                self.model, self._qstack,
+                float_prefix=config.quantize_float_prefix)
         # Greedy path runs as ONE device program (forward + collapse):
         # on relay-attached TPUs every program call pays a fixed round-trip
         # ack, so fusing halves the per-batch fixed cost.
@@ -290,7 +303,8 @@ class OcrService:
             )
 
             feats = quantized_conv_features(
-                qstack, images, widths, model.config)
+                qstack, images, widths, model.config,
+                float_prefix=self.config.quantize_float_prefix)
             return sequence_head_apply(model.config, params, feats, widths)
 
         def _fused(params, batch_stats, images, widths):
