@@ -583,11 +583,13 @@ class TestOpenVocabServing:
         http_server.main([
             "--snapshot", snap, "--decoder", "beam", "--lexicon", wl,
             "--lex-unk-logp", "-2.5", "--quantize", "none",
+            "--quantize-float-prefix", "2",
         ])
         cfg = captured["cfg"]
         assert cfg.beam.lex_unk_logp == -2.5
         assert cfg.lexicon_path == wl
         assert cfg.quantize == "none"
+        assert cfg.quantize_float_prefix == 2
         # without --lexicon the unk flag is inert (no constraint to
         # escape), matching BeamConfig's semantics
         http_server.main([

@@ -172,6 +172,10 @@ def main(argv=None):
                    help="int8: serve the snapshot's shipped quantized "
                         "conv stack (qstack.msgpack; write it once with "
                         "python -m vistaocr_tpu.models.quant)")
+    p.add_argument("--quantize-float-prefix", type=int, default=0,
+                   help="with --quantize int8: keep the first N "
+                        "convs in float (mixed precision — see "
+                        "docs/decoding.md)")
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--no-device-resize", action="store_true",
@@ -201,6 +205,7 @@ def main(argv=None):
         device_resize=not args.no_device_resize,
         warmup=not args.no_warmup,
         quantize=args.quantize,
+        quantize_float_prefix=args.quantize_float_prefix,
     )
     serve(args.snapshot, args.port, args.host, cfg)
 
