@@ -34,29 +34,36 @@ NOMINAL_REFERENCE_LINES_PER_SEC = 1000.0
 # band). Each service metric prints where the current run landed so
 # drift is visible run-over-run.
 RECORDED_BANDS = {
-    "service greedy": (2211, 3318, 7),
+    "service greedy": (2211, 3318, 8),
     # 1800 observed once in a round-4 builder run whose whole service
     # section ran slow (submit mb128 880 vs 1563); an immediate fresh-
     # process re-probe of the same snapshot read 2482-2605, so the band
     # keeps the low honestly but it is session skew, not a regression.
-    "service beam (device)": (1800, 2605, 7),
+    # r05 run D read 1293 during a depressed relay window (the SAME
+    # run's later rows landed at or above their band highs: int8 3340,
+    # submit mb32 1968) — kept honestly, same skew pattern.
+    "service beam (device)": (1293, 2605, 8),
     # r05 fenced run C read 1409 — 0.2% under the old 1412 low; folded.
-    "service beam+LM (fused)": (1409, 1516, 7),
+    "service beam+LM (fused)": (1409, 1516, 8),
     # r04 builder 1157, r04 driver 1123, r05 builder 1027 (a slow-
     # service-session sample like the beam 1800 case: the same run's
     # other rows sat mid-band, so kept honestly but not representative),
     # r05 fenced runs A/B 1078/1123
-    "service beam+4gramLM (fused)": (1027, 1157, 6),
+    "service beam+4gramLM (fused)": (1027, 1157, 7),
     # r03 driver 1377, r04 builder 1624, r04 driver 1646, r05 A 1650
-    "service beam+lexicon+wordLM": (1377, 1650, 7),
-    # Round-5 rows: samples = fenced runs A/B/C this round
+    "service beam+lexicon+wordLM": (1377, 1650, 8),
+    # Round-5 rows: samples = fenced runs A/B/C/D this round
     # (docs/design.md round-5 ledger).
-    "service 50k L.G": (1150, 1201, 3),
-    "service greedy int8": (2261, 2521, 3),
+    "service 50k L.G": (1150, 1219, 4),
+    # int8 at service shapes swings with the relay window: 2261-2521 in
+    # runs A-C, 3340 in run D's fast window (ABOVE the float high) —
+    # within-session float-vs-int8 ordering is not stable; see the
+    # ledger's int8 serving verdict.
+    "service greedy int8": (2261, 3340, 4),
     # mb=32 run A read 700 with every submit row in the same session low
-    # (relay-session skew, the beam-1800 pattern); run C read 1577.
-    "submit mb=32": (700, 1577, 3),
-    "submit mb=128": (1155, 1345, 3),
+    # (relay-session skew, the beam-1800 pattern); run D read 1968.
+    "submit mb=32": (700, 1968, 4),
+    "submit mb=128": (1155, 1526, 4),
 }
 
 
