@@ -1092,3 +1092,185 @@ class TestHashedWordLM:
         with pytest.raises(ValueError, match="host expansion"):
             hashed_word_logp_table(
                 wlm, [f"w{i}" for i in range(HASHED_WORD_CAP + 1)])
+
+
+class TestDeviceWordTrigram:
+    """Order-3 G on device (decode/lm.hashed_word_trigram_tables): the
+    Kaldi-era G.fst was routinely a pruned word TRIGRAM; the device L∘G
+    previously stopped at bigrams. Exactness of the two-level hashed
+    lookup vs ArpaLM.logp over every context shape (NONE sentinel, <s>,
+    injected Katz backoffs, unseen trigrams), string parity vs the host
+    oracle — alone and composed with the <unk> bypass — and the
+    representation-selection/cap rules."""
+
+    def _alphabet_sp(self, n_symbols):
+        chars = "abcdefghijklmnopqrstuvwxyz"[:n_symbols]
+        return Alphabet.build([utf8_to_uxxxx(chars + " ")])
+
+    def _trigram_case(self, seed, n_words=10, n_sents=150):
+        from vistaocr_tpu.decode.lexicon import Lexicon
+        from vistaocr_tpu.decode.lm import train_char_lm
+
+        al = self._alphabet_sp(5)
+        rng = np.random.default_rng(seed + 77)
+        words = sorted({
+            "".join(rng.choice(list("abcde"), rng.integers(1, 4)))
+            for _ in range(n_words)
+        })
+        lex = Lexicon.from_words(al, words)
+        wlm = train_char_lm(
+            [" ".join(rng.choice(words, rng.integers(1, 5)))
+             for _ in range(n_sents)],
+            order=3,
+        )
+        # train_char_lm leaves every backoff weight at 0; inject nonzero
+        # Katz weights on a third of the bigram contexts so the ctx_bo
+        # path is exercised (host scoring shifts identically — parity
+        # still gates).
+        for i, (ng, (lp, _)) in enumerate(sorted(wlm.tables[1].items())):
+            if i % 3 == 0:
+                wlm.tables[1][ng] = (lp, -0.31 * (1 + i % 5))
+        return al, lex, wlm
+
+    def test_gather_matches_arpa_logp_every_context_shape(self):
+        """Every (prev2, prev1, word) query — including prev2 = NONE
+        (sentence start), prev2/prev1 = <s>, unseen trigrams (ctx_bo +
+        bigram fallback) and unseen contexts (pure bigram) — must match
+        ArpaLM.logp to f32."""
+        from vistaocr_tpu.decode.device_beam import _word_logp_gather
+        from vistaocr_tpu.decode.lm import BOS, device_word_tables
+
+        _, lex, wlm = self._trigram_case(3)
+        words = lex.words
+        V = len(words)
+        t = device_word_tables(wlm, words)
+        assert "word_ctx_keys" in t and "word_tri_keys" in t
+        kw = {k: (v if isinstance(v, int) else jnp.asarray(v))
+              for k, v in t.items()}
+        p2, p1, w = np.meshgrid(
+            np.arange(V + 2), np.arange(V + 1), np.arange(V),
+            indexing="ij")
+        got = np.asarray(_word_logp_gather(
+            jnp.asarray(p1.reshape(-1).astype(np.int32)),
+            jnp.asarray(w.reshape(-1).astype(np.int32)),
+            wprev2=jnp.asarray(p2.reshape(-1).astype(np.int32)),
+            word_uni=kw["word_uni"], word_bo=kw["word_bo"],
+            word_hash_keys=kw["word_hash_keys"],
+            word_hash_vals=kw["word_hash_vals"],
+            word_probes=t["word_probes"],
+            word_ctx_keys=kw["word_ctx_keys"],
+            word_ctx_ids=kw["word_ctx_ids"],
+            word_ctx_bo=kw["word_ctx_bo"],
+            word_ctx_probes=t["word_ctx_probes"],
+            word_tri_keys=kw["word_tri_keys"],
+            word_tri_vals=kw["word_tri_vals"],
+            word_tri_probes=t["word_tri_probes"],
+        )).reshape(V + 2, V + 1, V)
+
+        def tok(i):
+            return BOS if i == V else words[i]
+
+        for a in range(V + 2):
+            for b in range(V + 1):
+                for c in range(V):
+                    hist = ((tok(b),) if a == V + 1
+                            else (tok(a), tok(b)))
+                    want = np.float32(wlm.logp(hist, words[c]))
+                    assert np.isclose(got[a, b, c], want,
+                                      atol=2e-5, rtol=1e-5), \
+                        (a, b, c, got[a, b, c], want)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_host_word_trigram_oracle(self, seed):
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lm import device_word_tables
+
+        lp, mask, frames = _random_case(seed, K=7, peaky=True)
+        al, lex, wlm = self._trigram_case(seed)
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                         word_lm_alpha=0.8, word_lm_beta=0.3)
+        next_tbl, boundary = lex.dense_tables()
+        t = device_word_tables(wlm, lex.words)
+        kw = {k: (v if isinstance(v, int) else jnp.asarray(v))
+              for k, v in t.items()}
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0,
+            lex_next=jnp.asarray(next_tbl),
+            lex_boundary=jnp.asarray(boundary),
+            word_ids=jnp.asarray(lex.word_id_table()),
+            space_id=lex.space_id, word_alpha=0.8, word_beta=0.3, **kw)
+        packed = np.asarray(packed)
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg, lexicon=lex, word_lm=wlm)
+            row = packed[b, :-1]
+            got = al.decode(row[row != 0].tolist())
+            assert got == hyps[0][0], (b, got, hyps[:3])
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_trigram_with_unk_bypass_matches_host(self, seed):
+        """The order-3 G composes with the open-vocabulary escape: unk
+        completions stay transparent (context unmoved), real completions
+        shift (prev2, prev1) — string-exact vs the host oracle."""
+        from vistaocr_tpu.decode.device_beam import beam_scan_collapsed
+        from vistaocr_tpu.decode.lm import (
+            device_word_tables,
+            word_unk_logp,
+        )
+
+        lp, mask, frames = _random_case(seed, K=7, peaky=True)
+        al, lex, wlm = self._trigram_case(seed + 10, n_words=8)
+        cfg = BeamConfig(beam_width=8, topk=4, prune_logp=-12.0,
+                         word_lm_alpha=0.8, word_lm_beta=0.3,
+                         lex_unk_logp=-1.5)
+        next_tbl, boundary = lex.dense_tables(unk=True)
+        t = device_word_tables(wlm, lex.words)
+        kw = {k: (v if isinstance(v, int) else jnp.asarray(v))
+              for k, v in t.items()}
+        _, packed = beam_scan_collapsed(
+            jnp.asarray(lp), jnp.asarray(mask), beam_width=8, topk=4,
+            prune_logp=-12.0,
+            lex_next=jnp.asarray(next_tbl),
+            lex_boundary=jnp.asarray(boundary),
+            lex_unk_logp=-1.5,
+            word_unk_logp=float(word_unk_logp(wlm)),
+            word_ids=jnp.asarray(lex.word_id_table(unk=True)),
+            space_id=lex.space_id, word_alpha=0.8, word_beta=0.3, **kw)
+        packed = np.asarray(packed)
+        for b in range(lp.shape[0]):
+            hyps = prefix_beam_search(
+                lp[b, : frames[b]], al, cfg, lexicon=lex, word_lm=wlm)
+            row = packed[b, :-1]
+            got = al.decode(row[row != 0].tolist())
+            assert got == hyps[0][0], (b, got, hyps[:3])
+
+    def test_device_word_tables_selects_trigram_form(self):
+        from vistaocr_tpu.decode.lm import (
+            device_word_tables,
+            train_char_lm,
+        )
+
+        _, lex, wlm = self._trigram_case(5)
+        t = device_word_tables(wlm, lex.words)
+        for key in ("word_uni", "word_bo", "word_hash_keys",
+                    "word_ctx_keys", "word_ctx_ids", "word_ctx_bo",
+                    "word_tri_keys", "word_tri_vals"):
+            assert key in t, key
+        assert "word_table" not in t
+        # order 4 has no device representation: host expansion
+        wlm4 = train_char_lm(["ab ba ab ba"], order=4)
+        with pytest.raises(ValueError, match="host expansion"):
+            device_word_tables(wlm4, lex.words)
+
+    def test_trigram_vocab_cap_rejected(self):
+        from vistaocr_tpu.decode.lm import (
+            TRIGRAM_WORD_CAP,
+            hashed_word_trigram_tables,
+            train_char_lm,
+        )
+
+        wlm = train_char_lm(["ab ba ab"], order=3)
+        with pytest.raises(ValueError, match="host expansion"):
+            hashed_word_trigram_tables(
+                wlm, [f"w{i}" for i in range(TRIGRAM_WORD_CAP + 1)])

@@ -82,14 +82,26 @@ def _word_logp_gather(
     word_hash_keys=None,  # [S] uint32 packed (prev * Vw + word) keys
     word_hash_vals=None,  # [S] f32 exact observed-bigram logp
     word_probes=0,        # static max probe length
+    wprev2=None,          # [.,.] int32 prev-prev word (Vw+1 = none)
+    word_ctx_keys=None,   # [Sc] uint32 packed (prev2*(Vw+1)+prev1) keys
+    word_ctx_ids=None,    # [Sc] int32 trigram context id (-1 = bo only)
+    word_ctx_bo=None,     # [Sc] f32 Katz bo(prev2, prev1)
+    word_ctx_probes=0,    # static probe length, context table
+    word_tri_keys=None,   # [St] uint32 packed (ctx_id * Vw + word) keys
+    word_tri_vals=None,   # [St] f32 exact observed-trigram logp
+    word_tri_probes=0,    # static probe length, trigram table
 ):
-    """log P(word wid | prev word wprev) for equal-shaped int32 arrays,
-    from either on-device bigram representation (decode/lm.
-    device_word_tables): one gather from the dense table, or an
-    open-addressed probe with the exact Katz fallback
-    ``bo[prev] + uni[word]`` — bit-identical scores either way, so the
-    50k-word path (VERDICT r4 missing #1) inherits the dense path's
-    oracle parity. ``wid`` must already be clamped to >= 0."""
+    """log P(word wid | word context) for equal-shaped int32 arrays,
+    from any on-device representation (decode/lm.device_word_tables):
+    one gather from the dense bigram table, an open-addressed bigram
+    probe with the exact Katz fallback ``bo[prev] + uni[word]``, or —
+    when the ``word_ctx_*``/``word_tri_*`` tables and ``wprev2`` are
+    present — the order-3 refinement ``ctx hit ? (tri hit ? tri_val :
+    ctx_bo + s2) : s2`` over the bigram score s2. Every shape replays
+    ``ArpaLM.logp`` exactly (a NONE/short history misses the context
+    table by construction), so the 50k-word and trigram paths inherit
+    the dense path's oracle parity. ``wid`` must already be clamped to
+    >= 0."""
     if word_table is not None:
         Vw = word_table.shape[1]
         return jnp.take(word_table.reshape(-1), wprev * Vw + wid)
@@ -107,7 +119,42 @@ def _word_logp_gather(
         hit = (kj == key) & ~found
         val = jnp.where(hit, jnp.take(word_hash_vals, slot), val)
         found = found | hit
-    return val
+    if word_ctx_keys is None or wprev2 is None:
+        return val
+    # trigram refinement: a valid 2-word history probes the context
+    # table; the NONE sentinel (Vw + 1) is clamped for the key compute
+    # but gates every hit, so short histories stay on the bigram score.
+    valid2 = wprev2 <= Vw
+    ckey = (jnp.minimum(wprev2, Vw).astype(jnp.uint32)
+            * jnp.uint32(Vw + 1) + wprev.astype(jnp.uint32))
+    Sc = word_ctx_keys.shape[0]
+    cshift = 32 - (Sc.bit_length() - 1)
+    cidx = ((ckey * jnp.uint32(2654435761)) >> cshift).astype(jnp.int32)
+    cid = jnp.full(ckey.shape, -1, jnp.int32)
+    cbo = jnp.zeros(ckey.shape, jnp.float32)
+    cfound = jnp.zeros(ckey.shape, bool)
+    for j in range(word_ctx_probes):
+        slot = (cidx + j) & (Sc - 1)
+        kj = jnp.take(word_ctx_keys, slot)
+        hit = (kj == ckey) & ~cfound & valid2
+        cid = jnp.where(hit, jnp.take(word_ctx_ids, slot), cid)
+        cbo = jnp.where(hit, jnp.take(word_ctx_bo, slot), cbo)
+        cfound = cfound | hit
+    tkey = (jnp.maximum(cid, 0).astype(jnp.uint32) * jnp.uint32(Vw)
+            + wid.astype(jnp.uint32))
+    St = word_tri_keys.shape[0]
+    tshift = 32 - (St.bit_length() - 1)
+    tidx = ((tkey * jnp.uint32(2654435761)) >> tshift).astype(jnp.int32)
+    tval = jnp.zeros(tkey.shape, jnp.float32)
+    tfound = jnp.zeros(tkey.shape, bool)
+    for j in range(word_tri_probes):
+        slot = (tidx + j) & (St - 1)
+        kj = jnp.take(word_tri_keys, slot)
+        hit = (kj == tkey) & ~tfound & (cid >= 0)
+        tval = jnp.where(hit, jnp.take(word_tri_vals, slot), tval)
+        tfound = tfound | hit
+    # miss everywhere: cbo = 0, tfound = False -> exactly s2
+    return jnp.where(tfound, tval, cbo + val)
 
 
 def beam_scan(
@@ -133,6 +180,13 @@ def beam_scan(
     word_hash_keys: Optional[jax.Array] = None,  # [S] uint32 packed keys
     word_hash_vals: Optional[jax.Array] = None,  # [S] f32 bigram logp
     word_probes: int = 0,  # static probe length for the word hash table
+    word_ctx_keys: Optional[jax.Array] = None,  # trigram G: ctx keys
+    word_ctx_ids: Optional[jax.Array] = None,  # [Sc] int32 ctx id / -1
+    word_ctx_bo: Optional[jax.Array] = None,  # [Sc] f32 bo(prev2, prev1)
+    word_ctx_probes: int = 0,
+    word_tri_keys: Optional[jax.Array] = None,  # [St] uint32 packed keys
+    word_tri_vals: Optional[jax.Array] = None,  # [St] f32 trigram logp
+    word_tri_probes: int = 0,
     word_ids: Optional[jax.Array] = None,  # [N] int32 word id at finals
     space_id: int = -1,
     word_alpha: float = 0.0,
@@ -204,7 +258,15 @@ def beam_scan(
             word_table=word_table, word_uni=word_uni, word_bo=word_bo,
             word_hash_keys=word_hash_keys, word_hash_vals=word_hash_vals,
             word_probes=word_probes,
+            word_ctx_keys=word_ctx_keys, word_ctx_ids=word_ctx_ids,
+            word_ctx_bo=word_ctx_bo, word_ctx_probes=word_ctx_probes,
+            word_tri_keys=word_tri_keys, word_tri_vals=word_tri_vals,
+            word_tri_probes=word_tri_probes,
         )
+    # Order-3 G (decode/lm.hashed_word_trigram_tables): slots also carry
+    # their prev-prev word id; Vw + 1 is the NONE sentinel (sentence
+    # start: the host oracle's (<s>,) length-1 history).
+    use_wlm3 = use_wlm and word_ctx_keys is not None
     # Character-bypass (<unk>) escape: lex_next must carry the appended
     # unk row (Lexicon.dense_tables(unk=True)); its index is N-1.
     use_unk = use_lex and lex_unk_logp != 0.0
@@ -257,10 +319,11 @@ def beam_scan(
     lex_0 = jnp.zeros((B, W), jnp.int32)  # trie root
     wlen_0 = jnp.zeros((B, W), jnp.int32)  # chars in current word (unk)
     wprev_0 = jnp.full((B, W), Vw if use_wlm else 0, jnp.int32)  # <s>
+    wprev2_0 = jnp.full((B, W), Vw + 1 if use_wlm3 else 0, jnp.int32)
 
     def body(carry, inp):
         (h1, h2, last, p_b, p_nb, lmp2, lmp, lml, bonus, lex, wlen,
-         wprev) = carry
+         wprev, wprev2) = carry
         v, i, pb, m = inp  # [B,k] [B,k] [B] [B]
         p_tot = jnp.logaddexp(p_b, p_nb)  # [B, W]
         frame_best = jnp.maximum(v[:, 0], pb)  # [B]
@@ -347,7 +410,8 @@ def beam_scan(
             wid = jnp.take(word_ids, lex)  # [B, W]
             completes = (c == space_id) & (wid[:, :, None] >= 0)
             wlp = _word_logp_gather(
-                wprev, jnp.maximum(wid, 0), **word_kw)  # [B, W]
+                wprev, jnp.maximum(wid, 0),
+                wprev2=wprev2 if use_wlm3 else None, **word_kw)  # [B, W]
             w_add = jnp.where(
                 completes,
                 jnp.float32(word_alpha) * wlp[:, :, None]
@@ -372,6 +436,12 @@ def beam_scan(
                 completes, jnp.maximum(wid, 0)[:, :, None],
                 wprev[:, :, None],
             )  # [B, W, k]
+            if use_wlm3:
+                # completion shifts (prev2, prev1) <- (prev1, word);
+                # unk completions leave BOTH unmoved (transparent)
+                ext_wprev2 = jnp.where(
+                    completes, wprev[:, :, None], wprev2[:, :, None],
+                )  # [B, W, k]
 
         # merge: an extend candidate ext(p, c) coincides with a beam slot
         # already holding p+c (and with nothing else — see module doc).
@@ -458,6 +528,13 @@ def beam_scan(
             n_wprev = take(pool_wprev)
         else:
             n_wprev = wprev
+        if use_wlm3:
+            pool_wprev2 = jnp.concatenate(
+                [wprev2, flat(jnp.broadcast_to(ext_wprev2, (B, W, k)))],
+                axis=1)
+            n_wprev2 = take(pool_wprev2)
+        else:
+            n_wprev2 = wprev2
         if (use_wlm or use_unk) and not use_lm:
             pool_bon = jnp.concatenate(
                 [bonus, flat(jnp.broadcast_to(ext_bonus, (B, W, k)))],
@@ -478,17 +555,19 @@ def beam_scan(
         lex = jnp.where(mw, n_lex, lex)
         wlen = jnp.where(mw, n_wlen, wlen)
         wprev = jnp.where(mw, n_wprev, wprev)
+        wprev2 = jnp.where(mw, n_wprev2, wprev2)
         parent = jnp.where(mw, n_parent, jnp.broadcast_to(iota_w[None], (B, W)))
         token = jnp.where(mw, n_token, 0)
         return (h1, h2, last, p_b, p_nb, lmp2, lmp, lml, bonus, lex,
-                wlen, wprev), (parent, token)
+                wlen, wprev, wprev2), (parent, token)
 
     carry, (parents, tokens) = jax.lax.scan(
         body, (h1_0, h2_0, last_0, p_b0, p_nb0, lmp2_0, lmp_0, lml_0,
-               bonus_0, lex_0, wlen_0, wprev_0),
+               bonus_0, lex_0, wlen_0, wprev_0, wprev2_0),
         (vals_t, ids_t, pblank_t, mask_t),
     )
-    _, _, _, p_b, p_nb, _, _, _, bonus, lex, wlen, wprev = carry
+    (_, _, _, p_b, p_nb, _, _, _, bonus, lex, wlen, wprev,
+     wprev2) = carry
     totals = jnp.logaddexp(p_b, p_nb)
     if use_lm or use_lex or use_wlm:
         extras = {}
@@ -500,6 +579,8 @@ def beam_scan(
             extras["wlen"] = wlen
         if use_wlm:
             extras["wprev"] = wprev
+        if use_wlm3:
+            extras["wprev2"] = wprev2
         return totals, extras, parents, tokens
     return totals, parents, tokens
 
@@ -520,8 +601,9 @@ def _beam_scan_jit(beam_width: int, topk: int, prune_logp: float,
                 all_beams=all_beams,
             ),
             static_argnames=("space_id", "word_alpha", "word_beta",
-                             "lm_probes", "word_probes", "lex_unk_logp",
-                             "word_unk_logp"),
+                             "lm_probes", "word_probes",
+                             "word_ctx_probes", "word_tri_probes",
+                             "lex_unk_logp", "word_unk_logp"),
         )
     return jax.jit(functools.partial(
         beam_scan_collapsed, beam_width=beam_width, topk=topk,
@@ -603,6 +685,13 @@ def beam_scan_collapsed(
     word_hash_keys: Optional[jax.Array] = None,
     word_hash_vals: Optional[jax.Array] = None,
     word_probes: int = 0,
+    word_ctx_keys: Optional[jax.Array] = None,
+    word_ctx_ids: Optional[jax.Array] = None,
+    word_ctx_bo: Optional[jax.Array] = None,
+    word_ctx_probes: int = 0,
+    word_tri_keys: Optional[jax.Array] = None,
+    word_tri_vals: Optional[jax.Array] = None,
+    word_tri_probes: int = 0,
     word_ids: Optional[jax.Array] = None,
     space_id: int = -1,
     word_alpha: float = 0.0,
@@ -641,6 +730,10 @@ def beam_scan_collapsed(
             word_table=word_table, word_uni=word_uni, word_bo=word_bo,
             word_hash_keys=word_hash_keys, word_hash_vals=word_hash_vals,
             word_probes=word_probes,
+            word_ctx_keys=word_ctx_keys, word_ctx_ids=word_ctx_ids,
+            word_ctx_bo=word_ctx_bo, word_ctx_probes=word_ctx_probes,
+            word_tri_keys=word_tri_keys, word_tri_vals=word_tri_vals,
+            word_tri_probes=word_tri_probes,
             word_ids=word_ids, space_id=space_id, word_alpha=word_alpha,
             word_beta=word_beta,
         )
@@ -656,6 +749,11 @@ def beam_scan_collapsed(
                 word_table=word_table, word_uni=word_uni, word_bo=word_bo,
                 word_hash_keys=word_hash_keys,
                 word_hash_vals=word_hash_vals, word_probes=word_probes,
+                wprev2=extras.get("wprev2"),
+                word_ctx_keys=word_ctx_keys, word_ctx_ids=word_ctx_ids,
+                word_ctx_bo=word_ctx_bo, word_ctx_probes=word_ctx_probes,
+                word_tri_keys=word_tri_keys, word_tri_vals=word_tri_vals,
+                word_tri_probes=word_tri_probes,
             )
             fused = fused + jnp.where(
                 wid >= 0,

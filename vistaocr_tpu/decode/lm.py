@@ -404,15 +404,222 @@ def hashed_word_logp_table(word_lm: "ArpaLM", words):
             "probes": probes}
 
 
+# Trigram context keys pack (prev2, prev1) as prev2*(V+1)+prev1 with
+# prev2, prev1 in [0..V] (V = <s>); the max stored key (V+1)^2 - 1 must
+# stay below the 0xFFFFFFFF empty sentinel.
+TRIGRAM_WORD_CAP = 65534
+
+
+def _open_hash_u32(entries):
+    """Open-addressed uint32 hash table (linear probe, power-of-two size,
+    load <= 0.5, empty sentinel 0xFFFFFFFF) shared by the hashed word
+    tables. ``entries`` is a sorted list of (key, (val0, val1, ...));
+    returns (keys [S] uint32, [vals0 [S], vals1 [S], ...] float32/int32
+    by value type, probes). The device probe loop replays the same
+    ``key * 2654435761 >> shift`` placement, so probes is exact."""
+    import numpy as np
+
+    R = len(entries)
+    S = 1
+    while S < max(2 * R, 8):
+        S *= 2
+    shift = 32 - (S.bit_length() - 1)
+    keys = np.full((S,), 0xFFFFFFFF, np.uint32)
+    n_vals = len(entries[0][1]) if R else 1
+    vals = [np.zeros((S,), np.float32) for _ in range(n_vals)]
+    probes = 1
+    slots = []
+    for key, vs in entries:
+        idx = ((key * 2654435761) & 0xFFFFFFFF) >> shift
+        d = 0
+        while keys[(idx + d) & (S - 1)] != 0xFFFFFFFF:
+            d += 1
+        slot = (idx + d) & (S - 1)
+        keys[slot] = np.uint32(key)
+        for a, v in zip(vals, vs):
+            a[slot] = v
+        slots.append(slot)
+        probes = max(probes, d + 1)
+    return keys, vals, probes, slots
+
+
+def hashed_word_trigram_tables(word_lm: "ArpaLM", words):
+    """Hashed word-TRIGRAM tables for on-device fusion of an order-3 G
+    (the Kaldi-era G.fst was routinely a pruned trigram; the device path
+    previously stopped at bigrams and routed order 3 to the host
+    expansion). Katz structure keeps the sparse form exact at one more
+    level: ``log P(w | p2, p1)`` is the observed-trigram score when
+    (p2, p1, w) is in the ARPA, else ``bo(p2, p1) + log P(w | p1)`` —
+    and the bigram term is exactly what the round-5 hashed bigram tables
+    already compute. So the trigram form adds two tables on top of the
+    bigram trio:
+
+    - ``ctx_keys/ctx_ids/ctx_bo [Sc]``: open-addressed table over packed
+      ``p2 * (V+1) + p1`` context keys (p2, p1 in [0..V], V = <s>) for
+      every context that has observed trigrams in this vocabulary and/or
+      a nonzero Katz backoff weight on its bigram entry. ``ctx_ids`` is
+      a dense trigram-context id (or -1 when the context only carries a
+      backoff weight); ``ctx_bo`` is bo(p2, p1) (unstored contexts back
+      off with weight log 1 = 0, so a probe miss is exact);
+    - ``tri_keys/tri_vals [St]``: observed trigrams keyed by
+      ``ctx_id * V + w`` with the EXACT ``lm.logp((p2, p1), w)`` score.
+
+    Device lookup (decode/device_beam._word_logp_gather with wprev2):
+    bigram score s2 first, then ``ctx hit ? (tri hit ? tri_val
+    : ctx_bo + s2) : s2`` — bit-level host parity for any length-2
+    history, while a length-1 history (sentence start: wprev2 = the NONE
+    sentinel V+1) can never hit the context table and falls through to
+    the exact bigram machinery, matching ``ArpaLM.logp`` on the short
+    history. Caps: V <= TRIGRAM_WORD_CAP (context-key packing) and
+    observed-context count C <= (2^32 - 1) // V (trigram-key packing);
+    beyond either, use the host expansion."""
+    import numpy as np
+
+    if word_lm.order != 3:
+        raise ValueError(
+            f"hashed_word_trigram_tables is the order-3 device path "
+            f"(got order {word_lm.order})"
+        )
+    V = len(words)
+    if V > TRIGRAM_WORD_CAP:
+        raise ValueError(
+            f"hashed word-trigram tables cap at V <= {TRIGRAM_WORD_CAP} "
+            f"(packed (prev2, prev1) context keys); got {V} — use the "
+            "host expansion"
+        )
+    word_id = {w: i for i, w in enumerate(words)}
+
+    def ctx_id_of(tok):
+        if tok == BOS:
+            return V
+        return word_id.get(tok)
+
+    big = hashed_word_logp_table(
+        _order2_view(word_lm), words)
+
+    # contexts: observed-trigram (p2, p1) pairs in-vocab, plus bigram
+    # entries carrying a nonzero backoff weight (needed for exactness
+    # even when all their trigrams fall outside this lexicon)
+    tri_by_ctx: dict = {}
+    for ng in word_lm.tables[2]:
+        p2, p1 = ctx_id_of(ng[0]), ctx_id_of(ng[1])
+        w = word_id.get(ng[2])
+        if p2 is None or p1 is None or w is None:
+            continue
+        tri_by_ctx.setdefault((p2, p1), []).append(w)
+    ctx_bo_map: dict = {}
+    for ng, (_, bo) in word_lm.tables[1].items():
+        if bo == 0.0:
+            continue
+        p2, p1 = ctx_id_of(ng[0]), ctx_id_of(ng[1])
+        if p2 is None or p1 is None:
+            continue
+        ctx_bo_map[(p2, p1)] = bo
+
+    ctx_list = sorted(set(tri_by_ctx) | set(ctx_bo_map))
+    C = len(tri_by_ctx)
+    if C > 0 and C * V - 1 >= 0xFFFFFFFF:
+        raise ValueError(
+            f"too many observed trigram contexts for packed trigram "
+            f"keys ({C} contexts x {V} words); use the host expansion"
+        )
+
+    cid_of = {}
+    ctx_entries = []
+    next_cid = 0
+    for (p2, p1) in ctx_list:
+        if (p2, p1) in tri_by_ctx:
+            cid = next_cid
+            next_cid += 1
+        else:
+            cid = -1
+        cid_of[(p2, p1)] = cid
+        ctx_entries.append(
+            (p2 * (V + 1) + p1, (ctx_bo_map.get((p2, p1), 0.0),))
+        )
+    ctx_keys, (ctx_bo,), ctx_probes, ctx_slots = _open_hash_u32(
+        ctx_entries)
+    # cid per slot, int32-exact (unoccupied slots read "no trigram rows")
+    ctx_ids = np.full(ctx_keys.shape, -1, np.int32)
+    for (p2, p1), slot in zip(ctx_list, ctx_slots):
+        ctx_ids[slot] = cid_of[(p2, p1)]
+
+    def hist_toks(p2, p1):
+        return (BOS if p2 == V else words[p2],
+                BOS if p1 == V else words[p1])
+
+    tri_entries = []
+    for (p2, p1), ws in tri_by_ctx.items():
+        cid = cid_of[(p2, p1)]
+        hist = hist_toks(p2, p1)
+        for w in ws:
+            # exact Katz score (matches ArpaLM.logp bit-for-bit)
+            tri_entries.append(
+                (cid * V + w, (word_lm.logp(hist, words[w]),)))
+    tri_entries.sort()
+    tri_keys, (tri_vals,), tri_probes, _ = _open_hash_u32(tri_entries)
+
+    return {
+        "uni": big["uni"], "bo": big["bo"], "keys": big["keys"],
+        "vals": big["vals"], "probes": big["probes"],
+        "ctx_keys": ctx_keys, "ctx_ids": ctx_ids, "ctx_bo": ctx_bo,
+        "ctx_probes": ctx_probes,
+        "tri_keys": tri_keys, "tri_vals": tri_vals,
+        "tri_probes": max(tri_probes, 1),
+    }
+
+
+class _order2_view:
+    """Order-2 facade over a higher-order ArpaLM so the bigram table
+    builder can reuse its exact machinery: ``logp`` truncates history to
+    one token (= the trigram form's bigram fallback term), ``tables``
+    and ``_lookup`` pass through."""
+
+    def __init__(self, lm: "ArpaLM"):
+        self._lm = lm
+        self.order = 2
+        self.tables = lm.tables
+
+    def logp(self, history, token):
+        hist = tuple(history[-1:])
+        return self._lm._logp_backoff(hist, token)
+
+    def _lookup(self, ngram):
+        return self._lm._lookup(ngram)
+
+
 def device_word_tables(word_lm: "ArpaLM", words) -> dict:
-    """Pick the on-device word-bigram representation for a vocabulary:
+    """Pick the on-device word-LM representation for a vocabulary:
     dense ``{"word_table"}`` up to DENSE_WORD_CAP (one gather per
-    lookup), hashed ``{"word_uni", "word_bo", "word_hash_keys",
+    lookup), hashed bigram ``{"word_uni", "word_bo", "word_hash_keys",
     "word_hash_vals", "word_probes"}`` beyond it (probe loop + Katz
-    fallback; exact either way). Both shapes feed
+    fallback), and for an ORDER-3 LM the hashed trigram form (bigram
+    trio + ``word_ctx_*``/``word_tri_*`` refinement tables) at any
+    vocabulary size — exact in every shape. All three feed
     decode/device_beam.beam_scan directly."""
     import numpy as np
 
+    if word_lm.order == 3:
+        t = hashed_word_trigram_tables(word_lm, words)
+        return {
+            "word_uni": t["uni"],
+            "word_bo": t["bo"],
+            "word_hash_keys": t["keys"],
+            "word_hash_vals": t["vals"],
+            "word_probes": int(t["probes"]),
+            "word_ctx_keys": t["ctx_keys"],
+            "word_ctx_ids": t["ctx_ids"],
+            "word_ctx_bo": t["ctx_bo"],
+            "word_ctx_probes": int(t["ctx_probes"]),
+            "word_tri_keys": t["tri_keys"],
+            "word_tri_vals": t["tri_vals"],
+            "word_tri_probes": int(t["tri_probes"]),
+        }
+    if word_lm.order > 3:
+        raise ValueError(
+            f"on-device word fusion supports order <= 3 (got "
+            f"{word_lm.order}); use the host expansion for higher orders"
+        )
     if len(words) <= DENSE_WORD_CAP:
         return {"word_table": np.asarray(dense_word_logp_table(
             word_lm, words))}

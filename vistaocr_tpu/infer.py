@@ -264,11 +264,12 @@ def run_inference(
 
         word_lm = ArpaLM.read_arpa(word_lm_path)
         if beam_impl == "device" and (
-            lexicon is None or word_lm.order > 2
+            lexicon is None or word_lm.order > 3
         ):
             raise ValueError(
-                "device word fusion needs --lexicon and a bigram word "
-                "LM; use --beam-impl host otherwise"
+                "device word fusion needs --lexicon and a word LM of "
+                "order <= 3 (bigram dense/hashed, trigram hashed); use "
+                "--beam-impl host otherwise"
             )
     # One LM load, picked for the engine that will actually run: the
     # host PYTHON expansion (n-best, or a >bigram word LM) needs the

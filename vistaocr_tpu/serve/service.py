@@ -376,13 +376,15 @@ class OcrService:
 
             self._word_lm = ArpaLM.read_arpa(config.word_lm_path)
             if config.beam_impl == "device":
-                if self._lexicon is None or self._word_lm.order > 2:
+                if self._lexicon is None or self._word_lm.order > 3:
                     raise ValueError(
                         "device word fusion needs lexicon_path and a "
-                        "bigram word LM; use beam_impl='host' otherwise"
+                        "word LM of order <= 3; use beam_impl='host' "
+                        "otherwise"
                     )
                 # dense [V+1, V] table up to 8k words, hashed Katz form
-                # beyond (exact either way; decode/lm.device_word_tables)
+                # beyond, hashed trigram tables for an order-3 G (exact
+                # in every shape; decode/lm.device_word_tables)
                 wt = device_word_tables(self._word_lm, self._lexicon.words)
                 self._lex_kw.update(
                     {k: (v if isinstance(v, int) else _put_table(v))
